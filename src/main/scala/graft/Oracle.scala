@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact full-scan BM25 top-k — the ground-truth generator (analog of the
+  * reference's `QueryObs` / `get_groundtruth` exact path configured with
+  * kc=1 ⇒ full scan, `toolkits/get_groundtruth.cpp:15-17`, SURVEY.md §2.10
+  * Q5/Q6). Every indexed/pruned query path must stay rank-identical to
+  * this, and this in turn is cross-checked against DuckDB via
+  * [[OracleSql.topkSql]].
+  *
+  * Plan shape: tf rows ⋈ broadcast(query terms) → per-(query,doc) integer
+  * micro-contribution → integer SUM groupBy(query_id, doc_id) → top-k.
+  * The join side `qterms` is tiny (nq·terms ≈ 60 rows) and broadcast; the
+  * groupBy gets map-side partial aggregation — at 100 TB this is one scan
+  * + one bounded shuffle of (query,doc) partials.
+  */
+object Oracle {
+
+  /** (query_id, doc_id, score_micro) for every doc matching ≥1 query term. */
+  def scores(spark: SparkSession, docs: DataFrame,
+             queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms): DataFrame = {
+    import spark.implicits._
+    val cs = Stats.corpus(docs)
+    val tf = Stats.tfRows(docs)
+    val ts = Stats.termStats(tf) // (term, df, cf)
+    val qterms = queries
+      .flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    tf.join(ts.select($"term", $"df"), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("c", Bm25.contribMicroCol(cs.n_docs, cs.avgdl, $"df", $"tf", $"dl"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"c").as("score_micro"))
+  }
+
+  /** Rank with the frozen total order (score_micro DESC, doc_id ASC) and
+    * keep top-k. Window form = the readable oracle; [[TopK]] is the
+    * scalable form (both tested rank-identical). */
+  def topk(spark: SparkSession, docs: DataFrame, k: Int = QuerySet.K): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"query_id").orderBy($"score_micro".desc, $"doc_id".asc)
+    scores(spark, docs)
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Same result via the bounded-heap [[TopK.Agg]] aggregator (the
+    * treeReduce-style scale path, SURVEY.md §2.6 T2). */
+  def topkViaHeap(spark: SparkSession, docs: DataFrame, k: Int = QuerySet.K): DataFrame = {
+    import spark.implicits._
+    val agg = new TopK.Agg(k).toColumn
+    scores(spark, docs)
+      .select($"query_id".as[Int], struct($"doc_id", $"score_micro").as[TopK.Cand])
+      .groupByKey(_._1)
+      .agg(agg.name("hits"))
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (c, i) => Hit(qid, i + 1, c.doc_id, c.score_micro) }
+      }
+      .toDF()
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .orderBy($"query_id", $"rank")
+  }
+}

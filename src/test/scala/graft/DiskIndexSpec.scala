@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Disk segment lifecycle: write → prune-read → query == oracle; resume
+  * rebuilds only missing partitions and converges to identical content
+  * (reference analog: LoadFromBook idempotent selective load, S12). */
+class DiskIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "idx").toString
+    d
+  }
+
+  private def queryRows(dir: String): Seq[(Int, Int, Long, Long)] = {
+    import spark.implicits._
+    QueryEngine.runOnIndex(spark, dir)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+  }
+
+  test("disk index query (pruned) == exact oracle") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, sfDir)
+    val dir = tmpDir()
+    IndexBuild.writeIndex(spark, docs, dir, SparkEntry.testConfig)
+    val got = queryRows(dir)
+    val oracle = Oracle.topk(spark, docs)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(got == oracle)
+    // manifest covers every written partition exactly once
+    val manifest = spark.read.parquet(IndexBuild.manifestDir(dir))
+      .select($"part_id").as[Int].collect().toSeq
+    assert(manifest.distinct.length == manifest.length)
+  }
+
+  test("partition pruning: rare-term query reads a strict subset of partitions") {
+    val docs = Stats.readDocuments(spark, sfDir)
+    val dir = tmpDir()
+    val meta = IndexBuild.writeIndex(spark, docs, dir, SparkEntry.testConfig)
+    // 'dup' is rare (df≈25 < headDf) → exactly one candidate partition
+    val termDf = Map("dup" -> 25L)
+    val pairs = QueryEngine.candidatePairs(meta, termDf, Seq((3, Seq("dup"))))
+    assert(pairs == Seq(("dup", 0)))
+    val partIds = QueryEngine.candidatePartIds(spark, meta, pairs)
+    assert(partIds.length == 1)
+    // and the pruned query still matches the oracle restricted to q3
+    import spark.implicits._
+    val got = QueryEngine.runOnIndex(spark, dir, Seq((3, Seq("dup"))))
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val oracle = Oracle.topk(spark, docs)
+      .as[(Int, Int, Long, Long)].collect().toSeq.filter(_._1 == 3)
+    assert(got == oracle)
+  }
+
+  test("resume: interrupted build (partial manifest) completes to identical content") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, sfDir)
+    val full = tmpDir()
+    IndexBuild.writeIndex(spark, docs, full, SparkEntry.testConfig)
+
+    // Simulate an interrupted build: complete index, then delete some
+    // partitions' segment dirs AND their manifest rows (as if the job
+    // died before writing them).
+    val partial = tmpDir()
+    IndexBuild.writeIndex(spark, docs, partial, SparkEntry.testConfig)
+    val allParts = spark.read.parquet(IndexBuild.manifestDir(partial))
+      .select($"part_id").as[Int].collect().toSeq.sorted
+    val killed = allParts.take(allParts.length / 2)
+    killed.foreach { p =>
+      val seg = new java.io.File(s"${IndexBuild.segmentsDir(partial)}/part_id=$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(seg)
+    }
+    // rewrite manifest without the killed partitions
+    val kept = spark.read.parquet(IndexBuild.manifestDir(partial))
+      .where(!$"part_id".isin(killed: _*)).collect()
+    val keptDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(kept.toSeq),
+      spark.read.parquet(IndexBuild.manifestDir(partial)).schema)
+    keptDf.write.mode("overwrite").parquet(s"$partial/manifest2")
+    def rmPath(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rmPath); f.delete() }
+    rmPath(new java.io.File(IndexBuild.manifestDir(partial)))
+    spark.read.parquet(s"$partial/manifest2").write.parquet(IndexBuild.manifestDir(partial))
+
+    // resume fills exactly the gap
+    IndexBuild.writeIndex(spark, docs, partial, SparkEntry.testConfig, resume = true)
+    val decodedOf = (d: String) => IndexBuild.readSegments(spark, d)
+      .flatMap(Codec.decodeAll _).as[Posting]
+      .collect().toSeq.sortBy(p => (p.term, p.doc_id))
+    assert(decodedOf(partial) == decodedOf(full))
+    assert(queryRows(partial) == queryRows(full))
+  }
+}

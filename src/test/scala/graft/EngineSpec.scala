@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+/** End-to-end rank-identity over the driver corpus (reference test
+  * pattern: index result vs exact ground truth, SURVEY.md §5): the
+  * indexed WAND path, the window-oracle and the heap-oracle must agree
+  * row-for-row on the frozen query batch. */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(df: DataFrame): Seq[(Int, Int, Long, Long)] = {
+    import spark.implicits._
+    df.select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .as[(Int, Int, Long, Long)].collect().toSeq
+  }
+
+  private def checkSf(sfDir: String): Unit = {
+    val docs = Stats.readDocuments(spark, sfDir)
+    val oracle = rows(Oracle.topk(spark, docs))
+    assert(oracle.nonEmpty)
+    // every query with ≥1 known term has results; ranks are 1..≤k dense
+    val byQ = oracle.groupBy(_._1)
+    byQ.foreach { case (q, hs) =>
+      assert(hs.map(_._2).sorted == (1 to hs.length), s"ranks not dense for q$q")
+      // frozen total order within each query
+      val sorted = hs.sortBy(h => (-h._4, h._3))
+      assert(hs.sortBy(_._2).map(h => (h._3, h._4)) == sorted.map(h => (h._3, h._4)))
+    }
+    val heap = rows(Oracle.topkViaHeap(spark, docs))
+    assert(heap == oracle, "heap-aggregator path != window oracle")
+
+    val indexed = rows(SparkEntry.queries("q_topk_indexed")(spark, sfDir))
+    assert(indexed == oracle, "indexed WAND path != exact oracle")
+  }
+
+  test("sf0.001: indexed == heap == oracle (rank-identical)") {
+    checkSf("/root/testdata/sf0.001")
+  }
+
+  test("sf0.01: indexed == heap == oracle (rank-identical)") {
+    checkSf("/root/testdata/sf0.01")
+  }
+
+  test("zero-result and unknown-term queries behave") {
+    val docs = Stats.readDocuments(spark, "/root/testdata/sf0.001")
+    val oracle = rows(Oracle.topk(spark, docs))
+    // q17 = 'zzznotfound' must yield no rows
+    assert(!oracle.exists(_._1 == 17))
+    // q6 = 'spark query plan' must still rank on the two known terms
+    assert(oracle.exists(_._1 == 6))
+  }
+
+  test("decoded index postings == tf rows (index stores the corpus exactly)") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val decoded = SparkEntry.queries("q_postings_decode")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val docs = Stats.readDocuments(spark, sfDir)
+    val expected = Stats.tfRows(docs)
+      .select($"term", $"doc_id", $"tf", $"dl")
+      .orderBy($"term", $"doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(decoded == expected)
+  }
+
+  test("salting: head terms split into doc-range buckets, rare terms do not") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, "/root/testdata/sf0.01")
+    val (postings, ts, _) = IndexBuild.buildPostings(spark, docs, SparkEntry.testConfig)
+    val rowsByTerm = postings.collect().groupBy(_.term)
+    val dfMap = ts.select($"term", $"df").as[(String, Long)].collect().toMap
+    val cfg = SparkEntry.testConfig
+    rowsByTerm.foreach { case (t, rs) =>
+      if (dfMap(t) > cfg.headDf) {
+        assert(rs.length > 1, s"head term $t not salted")
+        // buckets hold disjoint docId ranges
+        rs.foreach { r =>
+          val ds = Codec.decodeAll(r).map(_.doc_id)
+          assert(ds.forall(d => d / cfg.bucketWidth == r.bucket))
+        }
+      } else {
+        assert(rs.length == 1 && rs.head.bucket == 0, s"rare term $t salted")
+      }
+      // postings within a row strictly increasing
+      rs.foreach { r =>
+        val ds = Codec.decodeAll(r).map(_.doc_id)
+        assert(ds == ds.sorted && ds.distinct == ds)
+      }
+    }
+  }
+}
