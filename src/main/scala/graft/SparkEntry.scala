@@ -65,8 +65,33 @@ object SparkEntry {
         .toDF()
         .select($"term", $"doc_id", $"tf", $"dl")
         .orderBy($"term", $"doc_id")
-    })
+    }),
+    // --- training-data pipeline: deduplication ---------------------------
+    "q_dedup_exact" -> ((s, dir) => extra.Dedup.exact(docs(s, dir))),
+    "q_dedup_ngram" -> ((s, dir) => extra.Dedup.ngramJaccard(docs(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => extra.Dedup.minhashLsh(s, docs(s, dir))),
+    "q_simhash" -> ((s, dir) => extra.Dedup.simhash(s, docs(s, dir))),
+    "q_dedup_embedding" -> ((s, dir) =>
+      extra.Dedup.embeddingDup(embeddings(s, dir))),
+    // --- similarity search over embeddings -------------------------------
+    "q_ann_brute" -> ((s, dir) => extra.Ann.bruteTopk(embeddings(s, dir))),
+    // full probe ⇒ provably identical to brute force (oracle-checked);
+    // pruned-probe recall is spec-tested like the reference's Recall@10.
+    "q_ann_ivf" -> ((s, dir) =>
+      extra.Ann.lshTopk(s, embeddings(s, dir), nprobe = 1 << extra.Ann.NumPlanes)),
+    // --- text analysis ----------------------------------------------------
+    "q_token_count" -> ((s, dir) => extra.TextMetrics.tokenCounts(docs(s, dir))),
+    "q_quality" -> ((s, dir) => extra.TextMetrics.quality(docs(s, dir))),
+    "q_lang_id" -> ((s, dir) => extra.TextMetrics.langId(s, docs(s, dir))),
+    "q_fingerprint" -> ((s, dir) => extra.TextMetrics.fingerprints(s, docs(s, dir))),
+    // --- multimodal pages table (input_hint shape) ------------------------
+    "q_pages_extract" -> ((s, dir) => extra.Pages.extractAudit(s, docs(s, dir))),
+    "q_media_meta" -> ((s, dir) => extra.Pages.mediaMeta(docs(s, dir))),
+    "q_media_features" -> ((s, dir) => extra.Pages.mediaFeaturesStub(s, docs(s, dir)))
   )
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,6 +102,17 @@ object SparkEntry {
     "q_topk_oracle"     -> OracleSql.topkSql(),
     "q_topk_heap"       -> OracleSql.topkSql(),
     "q_topk_indexed"    -> OracleSql.topkSql(),
-    "q_postings_decode" -> OracleSql.postingsSql
+    "q_postings_decode" -> OracleSql.postingsSql,
+    "q_dedup_exact"     -> extra.OracleSqlExtra.dedupExactSql,
+    "q_dedup_ngram"     -> extra.OracleSqlExtra.ngramJaccardSql(),
+    "q_dedup_embedding" -> extra.OracleSqlExtra.embeddingDupSql(),
+    "q_ann_brute"       -> extra.OracleSqlExtra.annBruteSql(),
+    "q_ann_ivf"         -> extra.OracleSqlExtra.annBruteSql(),
+    "q_token_count"     -> extra.OracleSqlExtra.tokenCountSql,
+    "q_quality"         -> extra.OracleSqlExtra.qualitySql,
+    "q_pages_extract"   -> extra.OracleSqlExtra.pagesExtractSql,
+    "q_media_meta"      -> extra.OracleSqlExtra.mediaMetaSql
+    // rows-only (no portable SQL): q_dedup_minhash, q_simhash, q_lang_id,
+    // q_fingerprint, q_media_features — each spec-tested in ExtrasSpec.
   )
 }

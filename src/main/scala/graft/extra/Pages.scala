@@ -1,0 +1,90 @@
+package graft.extra
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full-shape `pages` table of BASELINE.json input_hint
+  * (url, warc_ts, html, text, lang) + multimodal binary-column plumbing.
+  *
+  * At small scale the table is synthesized DETERMINISTICALLY from the
+  * driver's `documents` corpus (FIXTURES.md §2) — html is a real BINARY
+  * column wrapping the text, so the north-rule invariant "extracted text
+  * is byte-identical per url" is testable cross-engine: extraction is a
+  * pure function of the row, and md5(extract(html)) must equal md5(text)
+  * computed by DuckDB directly from `documents`.
+  *
+  * Media handling: image/audio/video are opaque BINARY columns with typed
+  * metadata. The decode step is STUBBED (no codec libs in this sandbox —
+  * clearly marked below); the Spark-side plumbing (schema, batched
+  * per-partition processing, deterministic fake features) is real and
+  * tested.
+  */
+object Pages {
+
+  /** Deterministic pages synthesis (no randomness; url is the unique key). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("https://example.org/"), col("source"), lit("/"), col("doc_id"))
+        .as("url"),
+      expr("timestampadd(SECOND, doc_id, TIMESTAMP '2020-01-01 00:00:00')")
+        .as("warc_ts"),
+      encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")),
+        "UTF-8").as("html"),
+      col("text"),
+      col("lang"))
+
+  /** Pure text extraction from the html BINARY — the frozen per-url
+    * invariant (extract(html) == text byte-identically). */
+  def extractText(html: Array[Byte]): String = {
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val start = s.indexOf("<body>")
+    val end = s.lastIndexOf("</body>")
+    if (start < 0 || end < 0) "" else s.substring(start + 6, end)
+  }
+
+  /** (url, text_md5) where text is EXTRACTED from the binary html —
+    * DuckDB computes the same md5 from `documents.text` directly, so a
+    * hash match proves byte-identical extraction. */
+  def extractAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    fromDocuments(docs)
+      .select($"url", $"html").as[(String, Array[Byte])]
+      .map { case (url, html) => (url, PortableHash.md5Hex(extractText(html))) }
+      .toDF("url", "text_md5")
+      .orderBy("url")
+  }
+
+  /** Opaque-binary metadata: byte length + sniffed kind from magic bytes
+    * (here everything is html; the sniffer demonstrates the operator). */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    fromDocuments(docs).select(
+      col("url"),
+      length(col("html")).cast("long").as("n_bytes"),
+      when(expr("substring(html, 1, 5)") === encode(lit("<html"), "UTF-8"),
+        lit("text/html")).otherwise(lit("application/octet-stream"))
+        .as("mime"))
+      .orderBy("url")
+
+  /** Deterministic fake media features. ???-STUB: a real deployment would
+    * decode the binary with an image/audio codec here (the container has
+    * none); the SPARK PLUMBING — binary column in, fixed-width feature
+    * struct out, batched per partition — is the real, tested part. */
+  final case class MediaFeatures(url: String, n_bytes: Long, fake_width: Int,
+                                 fake_height: Int, fake_hash: Long)
+  def mediaFeaturesStub(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    fromDocuments(docs).select($"url", $"html").as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // batch-shaped loop (one decoder init per partition, like a real
+        // codec would need); features are a deterministic function of bytes
+        it.map { case (url, html) =>
+          val h = PortableHash.md5_60(new String(html,
+            java.nio.charset.StandardCharsets.UTF_8))
+          MediaFeatures(url, html.length.toLong,
+            640 + (h % 640).toInt, 360 + ((h >> 16) % 360).toInt, h)
+        }
+      }
+      .toDF()
+      .orderBy("url")
+  }
+}
