@@ -30,35 +30,56 @@ import scala.collection.mutable.ArrayBuffer
   */
 object IndexBuild {
 
+  /** @param docPartitioned false → TERM-partitioned layout (north-rule
+    *   build/merge/storage layout: part_id = hash(term, bucket) % P, only
+    *   head terms bucketed — exact single-partition pruning for rare
+    *   terms). true → DOC-partitioned SERVING layout (part_id = bucket %
+    *   P, EVERY term bucketed by docId range): each partition holds all
+    *   terms of its doc range, so one batched query job evaluates every
+    *   query per partition with ZERO posting duplication and merges
+    *   per-partition heaps — the treeReduce shape of the north star. The
+    *   same duality as the reference's offline per-cluster files vs
+    *   LoadFromBook serving selection. */
   final case class Config(
       numPartitions: Int = 32,
       bucketWidth: Long = 128,
       headDf: Long = 300,
-      blockSize: Int = Codec.BlockSize)
+      blockSize: Int = Codec.BlockSize,
+      docPartitioned: Boolean = false)
 
   /** Meta row persisted with the index: corpus scalars + the build config
     * (query-time pruning must use the SAME hash geometry). */
   final case class Meta(
       n_docs: Long, n_tokens: Long, max_doc_id: Long,
-      num_partitions: Int, bucket_width: Long, head_df: Long, block_size: Int)
+      num_partitions: Int, bucket_width: Long, head_df: Long, block_size: Int,
+      doc_partitioned: Boolean)
 
   /** Input row for the per-partition block builder. */
   final case class TokenPosting(
       term: String, bucket: Int, doc_id: Long, tf: Long, dl: Long, part_id: Int)
 
-  /** Salted, partitioned tf rows, clustered for the block builder. */
-  def saltedTf(spark: SparkSession, docs: DataFrame, termStats: DataFrame,
+  /** Salted, partitioned tf rows, clustered for the block builder.
+    * `tf` = (doc_id, term, tf, dl) rows — from [[Stats.tfRows]] at build
+    * time, or from decoded segments at merge time ([[Merge]]). */
+  def saltedTf(spark: SparkSession, tf: DataFrame, termStats: DataFrame,
                cfg: Config): Dataset[TokenPosting] = {
     import spark.implicits._
-    val tf = Stats.tfRows(docs)
     // Head-term set is tiny under Zipf (O(1/headDf · vocab)); broadcast.
-    val heads = termStats.where($"df" > cfg.headDf)
-      .select($"term", lit(true).as("is_head"))
-    tf.join(broadcast(heads), Seq("term"), "left")
-      .withColumn("bucket",
-        when($"is_head", ($"doc_id" / cfg.bucketWidth).cast("int")).otherwise(lit(0)))
-      .withColumn("part_id",
-        pmod(xxhash64($"term", $"bucket"), lit(cfg.numPartitions)).cast("int"))
+    val bucketed =
+      if (cfg.docPartitioned)
+        // serving layout: every term bucketed, partitions = doc ranges
+        tf.withColumn("bucket", ($"doc_id" / cfg.bucketWidth).cast("int"))
+          .withColumn("part_id", pmod($"bucket", lit(cfg.numPartitions)).cast("int"))
+      else {
+        val heads = termStats.where($"df" > cfg.headDf)
+          .select($"term", lit(true).as("is_head"))
+        tf.join(broadcast(heads), Seq("term"), "left")
+          .withColumn("bucket",
+            when($"is_head", ($"doc_id" / cfg.bucketWidth).cast("int")).otherwise(lit(0)))
+          .withColumn("part_id",
+            pmod(xxhash64($"term", $"bucket"), lit(cfg.numPartitions)).cast("int"))
+      }
+    bucketed
       .select($"term", $"bucket", $"doc_id", $"tf", $"dl", $"part_id")
       .as[TokenPosting]
   }
@@ -93,7 +114,7 @@ object IndexBuild {
     val cs = Stats.corpus(docs)
     val tf = Stats.tfRows(docs)
     val ts = Stats.termStats(tf)
-    val postings = saltedTf(spark, docs, ts, cfg)
+    val postings = saltedTf(spark, tf, ts, cfg)
       .repartition(cfg.numPartitions, $"part_id")
       .sortWithinPartitions($"term", $"bucket", $"doc_id")
       .mapPartitions(it => buildLists(it, cfg.blockSize))
@@ -116,22 +137,39 @@ object IndexBuild {
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val cs = Stats.corpus(docs)
+    def phase[T](name: String)(body: => T): T = {
+      val t = System.nanoTime()
+      val r = body
+      if (sys.env.contains("SPARK_GRAFT_LOG"))
+        System.err.println(f"[build-phase] $name ${(System.nanoTime() - t) / 1e9}%.2fs")
+      r
+    }
+    // ONE tokenize+tf pass, materialized: corpus scalars, term stats, the
+    // head-term set and the posting shuffle all read the cache instead of
+    // re-tokenizing the corpus (4 scans → 1 scan + 1 cached shuffle).
     val tf = Stats.tfRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ts = Stats.termStats(tf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // n_docs / max_doc_id need no tokenization; n_tokens = Σ cf over the
+    // (tiny) term-stats table — no extra pass over token data.
+    val docRow = phase("docs-scan")(docs.agg(count(lit(1)), max($"doc_id")).head())
+    val nTokens = phase("tf+stats")(ts.agg(sum($"cf")).head().getLong(0))
+    val cs = CorpusStats(docRow.getLong(0), nTokens, docRow.getLong(1))
     val meta = Meta(cs.n_docs, cs.n_tokens, cs.max_doc_id,
-      cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize)
+      cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
+      cfg.docPartitioned)
 
     val done: Set[Int] =
       if (resume && exists(spark, manifestDir(dir)))
         spark.read.parquet(manifestDir(dir)).select($"part_id").as[Int].collect().toSet
       else Set.empty
-    if (done.isEmpty) {
+    if (done.isEmpty) phase("stats-write") {
       ts.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
       Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/meta")
     }
 
-    val salted0 = saltedTf(spark, docs, ts, cfg)
+    val salted0 = saltedTf(spark, tf, ts, cfg)
     val salted = if (done.isEmpty) salted0 else salted0.where(!$"part_id".isin(done.toSeq: _*))
     val postings = salted
       .repartition(cfg.numPartitions, $"part_id")
@@ -139,19 +177,27 @@ object IndexBuild {
       .mapPartitions(it => buildLists(it, cfg.blockSize))
       .persist()
     try {
-      postings.write
-        .mode(SaveMode.Overwrite) // dynamic mode: only touched part_ids replaced
-        .partitionBy("part_id")
-        .parquet(segmentsDir(dir))
+      phase("segments-write") {
+        postings.write
+          .mode(SaveMode.Overwrite) // dynamic mode: only touched part_ids replaced
+          .partitionBy("part_id")
+          .parquet(segmentsDir(dir))
+      }
       // Manifest rows appended LAST (atomic per-partition commit point).
-      val manifest = postings.groupBy($"part_id")
-        .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
-      manifest.write.mode(SaveMode.Append).parquet(manifestDir(dir))
+      phase("manifest") {
+        val manifest = postings.groupBy($"part_id")
+          .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
+        manifest.write.mode(SaveMode.Append).parquet(manifestDir(dir))
+      }
       val wallSec = (System.nanoTime() - t0) / 1e9
       Seq((cs.n_docs, cs.n_tokens, wallSec, cs.n_docs / wallSec))
         .toDF("n_docs", "n_postings_tokens", "wall_sec", "docs_per_sec")
         .write.mode(SaveMode.Append).parquet(metricsDir(dir))
-    } finally postings.unpersist()
+    } finally {
+      postings.unpersist()
+      ts.unpersist()
+      tf.unpersist()
+    }
     meta
   }
 

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-pass segment merge — the graft of the reference's segment union
+  * (`LoadFromBook` merging per-cluster files into one index,
+  * `src/index_ivfpq.cpp:122-159`, SURVEY.md §2.3 J5) as Catalyst-planned
+  * DataFrame work per the north rule:
+  *
+  *  - per-term stats merge: FULL OUTER JOIN on term, df/cf additive
+  *    (input indexes must cover disjoint doc sets — checked via metas);
+  *  - posting merge: decoded postings of all inputs unioned, then the
+  *    SAME salted repartition (head terms under the MERGED df re-salt
+  *    into docId buckets; a term that was rare in every input but is a
+  *    head term of the union gets re-bucketed correctly) and block
+  *    rebuild as the primary build — so a merged index is bit-identical
+  *    to a single build over the union corpus (spec-asserted).
+  *
+  * Scale note: interleaved docId ranges (e.g. doc_id % 2 splits) force
+  * per-posting re-encoding — that cost is one decode + one bounded
+  * shuffle, strictly cheaper than a rebuild (no tokenization / tf
+  * aggregation of raw text). When input doc ranges are disjoint
+  * INTERVALS, blocks are self-contained (absolute first docId) and could
+  * be concatenated without decode; that fast path is a planned
+  * optimization, the correctness semantics here are the contract.
+  * Merge is associative: apply in passes for N-way merges of arbitrary
+  * fan-in.
+  */
+object Merge {
+
+  /** Decoded postings of an index as (doc_id, term, tf, dl) rows. */
+  def decodedPostings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    IndexBuild.readSegments(spark, dir)
+      .flatMap(Codec.decodeAll _)
+      .select($"doc_id", $"term", $"tf", $"dl")
+  }
+
+  /** Merged per-term stats via full-outer join (Catalyst-planned; the
+    * join reduces pairwise for >2 inputs). */
+  def mergeTermStats(stats: Seq[DataFrame]): DataFrame =
+    stats.reduce { (a, b) =>
+      a.select(col("term"), col("df").as("df_a"), col("cf").as("cf_a"))
+        .join(b.select(col("term"), col("df").as("df_b"), col("cf").as("cf_b")),
+          Seq("term"), "fullouter")
+        .select(col("term"),
+          (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"),
+          (coalesce(col("cf_a"), lit(0L)) + coalesce(col("cf_b"), lit(0L))).as("cf"))
+    }
+
+  /** Merge N on-disk indexes into `outDir`. Inputs must have identical
+    * build configs and disjoint doc sets. */
+  def mergeIndexes(spark: SparkSession, dirs: Seq[String], outDir: String): IndexBuild.Meta = {
+    import spark.implicits._
+    require(dirs.size >= 2, "merge needs at least two inputs")
+    val metas = dirs.map(IndexBuild.readMeta(spark, _))
+    val cfgs = metas.map(m => (m.num_partitions, m.bucket_width, m.head_df,
+      m.block_size, m.doc_partitioned)).distinct
+    require(cfgs.size == 1, s"mismatched build configs across inputs: $cfgs")
+    val cfg = IndexBuild.Config(metas.head.num_partitions, metas.head.bucket_width,
+      metas.head.head_df, metas.head.block_size, metas.head.doc_partitioned)
+
+    val meta = IndexBuild.Meta(
+      n_docs = metas.map(_.n_docs).sum,
+      n_tokens = metas.map(_.n_tokens).sum,
+      max_doc_id = metas.map(_.max_doc_id).max,
+      num_partitions = cfg.numPartitions, bucket_width = cfg.bucketWidth,
+      head_df = cfg.headDf, block_size = cfg.blockSize,
+      doc_partitioned = cfg.docPartitioned)
+
+    val ts = mergeTermStats(dirs.map(d => spark.read.parquet(s"$d/stats/terms")))
+    ts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
+    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
+
+    val tf = dirs.map(decodedPostings(spark, _)).reduce(_ unionByName _)
+    val postings = IndexBuild.saltedTf(spark, tf, ts, cfg)
+      .repartition(cfg.numPartitions, $"part_id")
+      .sortWithinPartitions($"term", $"bucket", $"doc_id")
+      .mapPartitions(it => IndexBuild.buildLists(it, cfg.blockSize))
+      .persist()
+    try {
+      postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")
+        .parquet(IndexBuild.segmentsDir(outDir))
+      postings.groupBy($"part_id")
+        .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
+        .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
+    } finally postings.unpersist()
+    meta
+  }
+}

@@ -34,7 +34,7 @@ object QueryEngine {
       avgdl: Double,
       termIdf: Map[String, Double],
       termToQueries: Map[String, Seq[Int]],
-      allQueryIds: Seq[Int])
+      queryTermSets: Map[Int, Seq[String]])
 
   /** Build the batch plan from per-term stats (df) + corpus scalars.
     * `termStats` may be the full stats table; only query terms are used. */
@@ -46,7 +46,8 @@ object QueryEngine {
     val t2q = queries
       .flatMap { case (qid, ts) => ts.filter(termDf.contains).map(t => (t, qid)) }
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
-    Plan(k, cs.avgdl, idf, t2q, queries.map(_._1))
+    val qts = queries.map { case (qid, ts) => qid -> ts.filter(termDf.contains) }.toMap
+    Plan(k, cs.avgdl, idf, t2q, qts)
   }
 
   /** Run the batch over a postings Dataset (in-memory or disk-backed).
@@ -97,7 +98,67 @@ object QueryEngine {
       .distinct().as[Int].collect().toSeq.sorted
   }
 
-  /** End-to-end: query a disk index with partition + term pruning. */
+  /** Batched query over a DOC-partitioned serving index: each task holds
+    * ALL terms of its docId ranges, so it evaluates EVERY query of the
+    * batch against its partition once (zero posting duplication — unlike
+    * the per-query grouping above, which ships each head-term row to every
+    * query using it). Per-(query, bucket) block-max WAND produces bounded
+    * partial heaps; heaps merge associatively per query (the treeReduce
+    * shape: `reduceGroups(mergeTopK)` over O(parts · nq · k) tiny rows).
+    * Rank-identity: per-bucket doc sets are disjoint, and top-k of a
+    * disjoint union = top-k of per-part top-k's under the frozen total
+    * order. */
+  def runDocPartitioned(spark: SparkSession, postings: Dataset[PostingRow],
+                        plan: Plan): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(plan)
+    val terms = plan.termToQueries.keys.toSeq
+    val partials: Dataset[(Int, Seq[TopK.Cand])] = postings
+      .where($"term".isin(terms: _*))
+      // The pruned posting set is compact parquet — a plain scan packs it
+      // into very few input splits (maxPartitionBytes), serializing the
+      // WAND work. Spread buckets across the cluster; the shuffle moves
+      // only the pruned, compressed lists.
+      .repartition($"bucket")
+      .mapPartitions { it =>
+        val p = bc.value
+        // bucket -> term -> rows (one row per (term,bucket) normally;
+        // merged inputs may contribute several)
+        val byBucket = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[PostingRow]]]
+        it.foreach { r =>
+          byBucket.getOrElseUpdate(r.bucket, scala.collection.mutable.Map.empty)
+            .getOrElseUpdate(r.term, scala.collection.mutable.ArrayBuffer.empty) += r
+        }
+        byBucket.iterator.flatMap { case (_, termRows) =>
+          // blocks of this bucket decode ONCE, shared across all queries
+          val cache = new Wand.BlockCache
+          val queriesHere = termRows.keysIterator
+            .flatMap(t => p.termToQueries.getOrElse(t, Nil)).toSet
+          queriesHere.iterator.map { qid =>
+            val qts = p.queryTermSets(qid)
+            val lists = qts.iterator.flatMap { t =>
+              termRows.get(t).map(rows => t -> (p.termIdf(t), rows.toSeq))
+            }.toMap
+            val hits = Wand.topk(qid, lists, p.avgdl, p.k, cache.decode)
+            (qid, hits.map(h => TopK.Cand(h.doc_id, h.score_micro)))
+          }
+        }
+      }
+    partials
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, TopK.mergeTopK(a._2, b._2, plan.k)))
+      .flatMap { case (qid, (_, cands)) =>
+        cands.zipWithIndex.map { case (c, i) => Hit(qid, i + 1, c.doc_id, c.score_micro) }
+      }
+      .toDF()
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** End-to-end: query a disk index. Doc-partitioned indexes use the
+    * batched zero-duplication path; term-partitioned ones the pruned
+    * per-query path. */
   def runOnIndex(spark: SparkSession, dir: String,
                  queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
                  k: Int = QuerySet.K): DataFrame = {
@@ -110,9 +171,13 @@ object QueryEngine {
       .select($"term", $"df").as[(String, Long)].collect().toMap
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
     val p = plan(cs, termDf, queries, k)
-    val partIds = candidatePartIds(spark, meta, candidatePairs(meta, termDf, queries))
-    val segments = IndexBuild.readSegments(spark, dir)
-      .where($"part_id".isin(partIds: _*))
-    run(spark, segments, p)
+    if (meta.doc_partitioned)
+      runDocPartitioned(spark, IndexBuild.readSegments(spark, dir), p)
+    else {
+      val partIds = candidatePartIds(spark, meta, candidatePairs(meta, termDf, queries))
+      val segments = IndexBuild.readSegments(spark, dir)
+        .where($"part_id".isin(partIds: _*))
+      run(spark, segments, p)
+    }
   }
 }

@@ -22,16 +22,24 @@ object Stats {
     docs.select(col("doc_id"), size(Tokenize.tokensCol(col("text"))).cast("long").as("dl"))
 
   /** Term-frequency rows (doc_id, term, tf, dl) — the engine's "encoded
-    * vectors". One shuffle on (doc_id, term) with partial aggregation;
-    * dl is recomputed per row from the token array (no extra join). */
+    * vectors". NO shuffle: a document is a single row, so its term
+    * counts are a per-task computation over the token array (the naive
+    * `explode → groupBy(doc_id, term)` alternative shuffles every token
+    * occurrence — measured ~2× slower at bench scale and the build's
+    * biggest GC source). Downstream consumers aggregate or repartition
+    * these already-combined rows. */
   def tfRows(docs: DataFrame): DataFrame = {
-    val withToks = docs.select(
-      col("doc_id"),
-      Tokenize.tokensCol(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-    withToks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), Tokenize.tokensCol(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (d, toks) =>
+        val dl = toks.length.toLong
+        val m = new scala.collection.mutable.HashMap[String, Long]()
+        toks.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+        m.iterator.map { case (t, tf) => (d, t, tf, dl) }
+      }
+      .toDF("doc_id", "term", "tf", "dl")
   }
 
   /** Per-term stats (term, df, cf) from tf rows. */

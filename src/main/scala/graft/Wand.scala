@@ -23,10 +23,24 @@ package graft
   */
 object Wand {
 
+  /** Memoizing block decoder: in batched (multi-query) execution the same
+    * block is visited by every query whose terms hit it — decode once per
+    * task/bucket, share the arrays read-only (identity-keyed: blocks are
+    * deserialized object instances within one task). */
+  final class BlockCache {
+    private val m = new java.util.IdentityHashMap[Block, (Array[Long], Array[Int], Array[Int])]()
+    def decode(b: Block): (Array[Long], Array[Int], Array[Int]) = {
+      val got = m.get(b)
+      if (got != null) got
+      else { val d = Codec.decodeBlock(b); m.put(b, d); d }
+    }
+  }
+
   /** Per-query-term cursor over the term's posting blocks (possibly many
     * [[PostingRow]] bucket sub-lists, concatenated in docId order). */
   final class TermCursor(val term: String, val idf: Double, avgdl: Double,
-                         rows: Seq[PostingRow]) {
+                         rows: Seq[PostingRow],
+                         decoder: Block => (Array[Long], Array[Int], Array[Int]) = Codec.decodeBlock) {
     // Bucket sub-lists are disjoint docId ranges; min_doc order ⇒ global order.
     private val blocks: Array[Block] =
       rows.sortBy(_.min_doc).iterator.flatMap(_.blocks).toArray
@@ -57,7 +71,7 @@ object Wand {
     var blocksDecoded = 0L // metrics (reference: num_searched_cluster analog)
 
     private def decode(): Unit = {
-      val t = Codec.decodeBlock(blocks(bi))
+      val t = decoder(blocks(bi))
       docIds = t._1; tfs = t._2; dls = t._3
       blocksDecoded += 1
     }
@@ -112,11 +126,14 @@ object Wand {
   }
 
   /** Run WAND for one query. `lists`: term -> its PostingRows (only terms
-    * present in the index). Returns hits best-first with 1-based ranks. */
+    * present in the index). Returns hits best-first with 1-based ranks.
+    * `decoder`: pass a shared [[BlockCache]].decode when many queries
+    * visit the same blocks (batched doc-partitioned serving). */
   def topk(queryId: Int, lists: Map[String, (Double, Seq[PostingRow])],
-           avgdl: Double, k: Int): Seq[Hit] = {
+           avgdl: Double, k: Int,
+           decoder: Block => (Array[Long], Array[Int], Array[Int]) = Codec.decodeBlock): Seq[Hit] = {
     var cursors: Array[TermCursor] = lists.iterator.map { case (term, (idf, rows)) =>
-      new TermCursor(term, idf, avgdl, rows)
+      new TermCursor(term, idf, avgdl, rows, decoder)
     }.toArray
     cursors.foreach(_.next())
     cursors = cursors.filterNot(_.exhausted)

@@ -56,6 +56,24 @@ class DiskIndexSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("doc-partitioned serving index: batched query == oracle; partitions are doc ranges") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, sfDir)
+    val dir = tmpDir()
+    val cfg = SparkEntry.testConfig.copy(docPartitioned = true)
+    IndexBuild.writeIndex(spark, docs, dir, cfg)
+    val got = queryRows(dir) // dispatches to runDocPartitioned via meta
+    val oracle = Oracle.topk(spark, docs)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(got == oracle)
+    // every (term,bucket) row respects its doc range and part = bucket % P
+    IndexBuild.readSegments(spark, dir).collect().foreach { r =>
+      assert(r.part_id == r.bucket % cfg.numPartitions)
+      Codec.decodeAll(r).foreach(p =>
+        assert(p.doc_id / cfg.bucketWidth == r.bucket))
+    }
+  }
+
   test("resume: interrupted build (partial manifest) completes to identical content") {
     import spark.implicits._
     val docs = Stats.readDocuments(spark, sfDir)
