@@ -54,70 +54,112 @@ object IndexBuild {
       num_partitions: Int, bucket_width: Long, head_df: Long, block_size: Int,
       doc_partitioned: Boolean)
 
-  /** Input row for the per-partition block builder. */
-  final case class TokenPosting(
-      term: String, bucket: Int, doc_id: Long, tf: Long, dl: Long, part_id: Int)
 
-  /** Salted, partitioned tf rows, clustered for the block builder.
-    * `tf` = (doc_id, term, tf, dl) rows — from [[Stats.tfRows]] at build
-    * time, or from decoded segments at merge time ([[Merge]]). */
-  def saltedTf(spark: SparkSession, tf: DataFrame, termStats: DataFrame,
-               cfg: Config): Dataset[TokenPosting] = {
-    import spark.implicits._
-    // Head-term set is tiny under Zipf (O(1/headDf · vocab)); broadcast.
-    val bucketed =
-      if (cfg.docPartitioned)
-        // serving layout: every term bucketed, partitions = doc ranges
-        tf.withColumn("bucket", ($"doc_id" / cfg.bucketWidth).cast("int"))
-          .withColumn("part_id", pmod($"bucket", lit(cfg.numPartitions)).cast("int"))
-      else {
-        val heads = termStats.where($"df" > cfg.headDf)
-          .select($"term", lit(true).as("is_head"))
-        tf.join(broadcast(heads), Seq("term"), "left")
-          .withColumn("bucket",
-            when($"is_head", ($"doc_id" / cfg.bucketWidth).cast("int")).otherwise(lit(0)))
-          .withColumn("part_id",
-            pmod(xxhash64($"term", $"bucket"), lit(cfg.numPartitions)).cast("int"))
-      }
-    bucketed
-      .select($"term", $"bucket", $"doc_id", $"tf", $"dl", $"part_id")
-      .as[TokenPosting]
+  /** Scala mirror of the Catalyst `pmod(xxhash64(term, bucket), P)` used
+    * for partition routing — bit-exact parity with
+    * [[QueryEngine.candidatePartIds]] is spec-asserted (EngineSpec). */
+  def partIdOf(term: String, bucket: Int, numPartitions: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val h1 = XxHash64Function.hash(UTF8String.fromString(term), StringType, 42L)
+    val h2 = XxHash64Function.hash(bucket, IntegerType, h1)
+    val p = numPartitions
+    (((h2 % p) + p) % p).toInt
   }
 
-  /** Consecutive-key run grouping + block compression (runs inside one
-    * task over rows already clustered by (term, bucket, doc_id)). */
-  def buildLists(rows: Iterator[TokenPosting], blockSize: Int): Iterator[PostingRow] =
+  /** MAP-SIDE posting-list combine (the Lucene-segment pattern): each
+    * input task accumulates its slice of the inverted index in memory and
+    * emits PARTIAL compressed posting rows per (term, bucket). The shuffle
+    * then moves O(vocab·buckets·tasks) compact block rows instead of one
+    * row PER POSTING (at bench scale: ~29M tf rows → ~0.5M partial rows)
+    * — the analog of the reference's per-thread list building under locks
+    * (`src/index_ivf.cpp:85-93`), with the lock replaced by the
+    * reduce-side run merge. Task memory is bounded by its input split.
+    *
+    * `tf` = (doc_id, term, tf, dl) rows, already task-local (no shuffle:
+    * [[Stats.tfRows]] computes them per doc row; [[Merge]] feeds decoded
+    * segment postings). `headTerms` is the Zipf head (df > headDf) — tiny
+    * at any corpus size, broadcast. */
+  def partialPostings(spark: SparkSession, tf: DataFrame,
+                      headTerms: Set[String], cfg: Config): Dataset[PostingRow] = {
+    import spark.implicits._
+    val headsBc = spark.sparkContext.broadcast(headTerms)
+    val docPart = cfg.docPartitioned
+    val width = cfg.bucketWidth
+    val p = cfg.numPartitions
+    val blockSize = cfg.blockSize
+    tf.select($"doc_id", $"term", $"tf", $"dl").as[(Long, String, Long, Long)]
+      .mapPartitions { it =>
+        val heads = headsBc.value
+        val acc = scala.collection.mutable.HashMap
+          .empty[(String, Int), ArrayBuffer[(Long, Int, Int)]]
+        it.foreach { case (d, t, tfv, dlv) =>
+          val bucket = if (docPart || heads.contains(t)) (d / width).toInt else 0
+          acc.getOrElseUpdate((t, bucket), new ArrayBuffer[(Long, Int, Int)]()) +=
+            ((d, tfv.toInt, dlv.toInt))
+        }
+        acc.iterator.map { case ((t, bucket), buf) =>
+          val s = buf.sortInPlace()(Ordering.by(_._1))
+          val partId = if (docPart) bucket % p else partIdOf(t, bucket, p)
+          PostingRow(partId, t, bucket, s.length.toLong, s.head._1,
+            Codec.encodeBlocks(s.map(_._1).toArray, s.map(_._2).toArray,
+              s.map(_._3).toArray, blockSize))
+        }
+      }
+  }
+
+  /** Reduce-side merge of partial posting rows (clustered by
+    * (term, bucket)): k sorted runs → one sorted list → final blocks.
+    * Output is bit-identical to a single-pass build (encodeBlocks over
+    * the full sorted postings). */
+  def mergePartials(rows: Iterator[PostingRow], blockSize: Int): Iterator[PostingRow] =
     new Iterator[PostingRow] {
       private val it = rows.buffered
       def hasNext: Boolean = it.hasNext
       def next(): PostingRow = {
         val head = it.head
-        val docIds = new ArrayBuffer[Long]
-        val tfs = new ArrayBuffer[Int]
-        val dls = new ArrayBuffer[Int]
+        val all = new ArrayBuffer[(Long, Int, Int)]()
         while (it.hasNext && it.head.term == head.term && it.head.bucket == head.bucket) {
-          val r = it.next()
-          docIds += r.doc_id; tfs += r.tf.toInt; dls += r.dl.toInt
+          it.next().blocks.foreach { b =>
+            val (ds, ts, ls) = Codec.decodeBlock(b)
+            var i = 0
+            while (i < ds.length) { all += ((ds(i), ts(i), ls(i))); i += 1 }
+          }
         }
-        val blocks = Codec.encodeBlocks(docIds.toArray, tfs.toArray, dls.toArray, blockSize)
-        PostingRow(head.part_id, head.term, head.bucket, docIds.length.toLong,
-          docIds.head, blocks)
+        val s = all.sortInPlace()(Ordering.by(_._1))
+        PostingRow(head.part_id, head.term, head.bucket, s.length.toLong, s.head._1,
+          Codec.encodeBlocks(s.map(_._1).toArray, s.map(_._2).toArray,
+            s.map(_._3).toArray, blockSize))
       }
     }
+
+  /** The partial→shuffle→merge posting pipeline shared by build + merge. */
+  def postingsPipeline(spark: SparkSession, tf: DataFrame, headTerms: Set[String],
+                       cfg: Config): Dataset[PostingRow] = {
+    import spark.implicits._
+    partialPostings(spark, tf, headTerms, cfg)
+      .repartition(cfg.numPartitions, $"part_id")
+      .sortWithinPartitions($"term", $"bucket", $"min_doc")
+      .mapPartitions(it => mergePartials(it, cfg.blockSize))
+  }
+
+  /** Head-term set for salting decisions (driver-side; Zipf-tiny). */
+  def headTerms(spark: SparkSession, termStats: DataFrame, cfg: Config): Set[String] = {
+    import spark.implicits._
+    if (cfg.docPartitioned) Set.empty
+    else termStats.where($"df" > cfg.headDf).select($"term").as[String].collect().toSet
+  }
 
   /** In-memory build: postings Dataset + stats (no disk IO) — used by the
     * Verify contract and algorithm tests; the disk path below adds only
     * IO + manifest around this same plan. */
   def buildPostings(spark: SparkSession, docs: DataFrame, cfg: Config = Config())
       : (Dataset[PostingRow], DataFrame, CorpusStats) = {
-    import spark.implicits._
     val cs = Stats.corpus(docs)
     val tf = Stats.tfRows(docs)
     val ts = Stats.termStats(tf)
-    val postings = saltedTf(spark, tf, ts, cfg)
-      .repartition(cfg.numPartitions, $"part_id")
-      .sortWithinPartitions($"term", $"bucket", $"doc_id")
-      .mapPartitions(it => buildLists(it, cfg.blockSize))
+    val postings = postingsPipeline(spark, tf, headTerms(spark, ts, cfg), cfg)
     (postings, ts, cs)
   }
 
@@ -144,21 +186,25 @@ object IndexBuild {
         System.err.println(f"[build-phase] $name ${(System.nanoTime() - t) / 1e9}%.2fs")
       r
     }
-    // ONE tokenize+tf pass, materialized: corpus scalars, term stats, the
-    // head-term set and the posting shuffle all read the cache instead of
-    // re-tokenizing the corpus (4 scans → 1 scan + 1 cached shuffle).
-    val tf = Stats.tfRows(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ts = Stats.termStats(tf)
+    // Cache the (possibly expensive) input expression, not the exploded
+    // token data: it is read twice — once by the tiny-output stats job,
+    // once by the map-side partial-postings job (both tokenize in-task;
+    // tokenization is parallel CPU, cheaper than materializing 10^8+ tf
+    // rows through the block manager).
+    val d = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ts = Stats.termStats(Stats.tfRows(d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // n_docs / max_doc_id need no tokenization; n_tokens = Σ cf over the
     // (tiny) term-stats table — no extra pass over token data.
-    val docRow = phase("docs-scan")(docs.agg(count(lit(1)), max($"doc_id")).head())
-    val nTokens = phase("tf+stats")(ts.agg(sum($"cf")).head().getLong(0))
+    val statsRow = phase("stats")(
+      ts.agg(sum($"cf"), count(lit(1))).head())
+    val nTokens = statsRow.getLong(0)
+    val docRow = phase("docs-scan")(d.agg(count(lit(1)), max($"doc_id")).head())
     val cs = CorpusStats(docRow.getLong(0), nTokens, docRow.getLong(1))
     val meta = Meta(cs.n_docs, cs.n_tokens, cs.max_doc_id,
       cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
       cfg.docPartitioned)
+    val heads = headTerms(spark, ts, cfg)
 
     val done: Set[Int] =
       if (resume && exists(spark, manifestDir(dir)))
@@ -169,12 +215,15 @@ object IndexBuild {
       Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/meta")
     }
 
-    val salted0 = saltedTf(spark, tf, ts, cfg)
-    val salted = if (done.isEmpty) salted0 else salted0.where(!$"part_id".isin(done.toSeq: _*))
-    val postings = salted
+    // resume filter sits BETWEEN the map-side partials and the shuffle, so
+    // already-committed partitions are dropped before any shuffle/merge work
+    val partials0 = partialPostings(spark, Stats.tfRows(d), heads, cfg)
+    val partials = if (done.isEmpty) partials0
+                   else partials0.where(!$"part_id".isin(done.toSeq: _*))
+    val postings = partials
       .repartition(cfg.numPartitions, $"part_id")
-      .sortWithinPartitions($"term", $"bucket", $"doc_id")
-      .mapPartitions(it => buildLists(it, cfg.blockSize))
+      .sortWithinPartitions($"term", $"bucket", $"min_doc")
+      .mapPartitions(it => mergePartials(it, cfg.blockSize))
       .persist()
     try {
       phase("segments-write") {
@@ -196,7 +245,7 @@ object IndexBuild {
     } finally {
       postings.unpersist()
       ts.unpersist()
-      tf.unpersist()
+      d.unpersist()
     }
     meta
   }

@@ -74,10 +74,8 @@ object Merge {
     Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
 
     val tf = dirs.map(decodedPostings(spark, _)).reduce(_ unionByName _)
-    val postings = IndexBuild.saltedTf(spark, tf, ts, cfg)
-      .repartition(cfg.numPartitions, $"part_id")
-      .sortWithinPartitions($"term", $"bucket", $"doc_id")
-      .mapPartitions(it => IndexBuild.buildLists(it, cfg.blockSize))
+    val postings = IndexBuild.postingsPipeline(spark, tf,
+      IndexBuild.headTerms(spark, ts, cfg), cfg)
       .persist()
     try {
       postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")

@@ -65,6 +65,20 @@ class EngineSpec extends AnyFunSuite {
     assert(decoded == expected)
   }
 
+  test("partIdOf (Scala) == Catalyst pmod(xxhash64(term,bucket),P) bit-exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairs = (for (t <- Seq("the", "dup", "zzz", "Ünïcode-词"); b <- 0 to 5)
+      yield (t, b))
+    val catalyst = pairs.toDF("term", "bucket")
+      .select($"term", $"bucket",
+        pmod(xxhash64($"term", $"bucket"), lit(32)).cast("int").as("part_id"))
+      .as[(String, Int, Int)].collect()
+    catalyst.foreach { case (t, b, pid) =>
+      assert(IndexBuild.partIdOf(t, b, 32) == pid, s"($t,$b)")
+    }
+  }
+
   test("salting: head terms split into doc-range buckets, rare terms do not") {
     import spark.implicits._
     val docs = Stats.readDocuments(spark, "/root/testdata/sf0.01")
