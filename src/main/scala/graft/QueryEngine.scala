@@ -28,6 +28,25 @@ import org.apache.spark.sql.functions._
   */
 object QueryEngine {
 
+  /** Pruning-effort accumulators (reference analog: the global
+    * `num_searched_cluster/vector` reduction counters printed per batch,
+    * `src/index_ivfpq.cpp:257-294` — SURVEY.md §2.4 A4). */
+  final class EffortAccs(spark: SparkSession) extends Serializable {
+    val wandCalls = spark.sparkContext.longAccumulator("wand_calls")
+    val blocksTotal = spark.sparkContext.longAccumulator("blocks_total")
+    val blocksDecoded = spark.sparkContext.longAccumulator("blocks_decoded")
+    val docsScored = spark.sparkContext.longAccumulator("docs_scored")
+    def sink(e: Wand.Effort): Unit = {
+      wandCalls.add(1L)
+      blocksTotal.add(e.blocksTotal)
+      blocksDecoded.add(e.blocksDecoded)
+      docsScored.add(e.docsScored)
+    }
+    override def toString: String =
+      s"wand_calls=${wandCalls.value} blocks_total=${blocksTotal.value} " +
+        s"blocks_decoded=${blocksDecoded.value} docs_scored=${docsScored.value}"
+  }
+
   /** Broadcast query plan (the "DTable" of the batch). */
   final case class Plan(
       k: Int,
@@ -52,7 +71,8 @@ object QueryEngine {
 
   /** Run the batch over a postings Dataset (in-memory or disk-backed).
     * Emits (query_id, rank, doc_id, score_micro), ordered. */
-  def run(spark: SparkSession, postings: Dataset[PostingRow], plan: Plan): DataFrame = {
+  def run(spark: SparkSession, postings: Dataset[PostingRow], plan: Plan,
+          effort: Option[EffortAccs] = None): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(plan)
     val terms = plan.termToQueries.keys.toSeq
@@ -67,7 +87,8 @@ object QueryEngine {
         val p = bc.value
         val lists = it.map(_._2).toSeq.groupBy(_.term)
           .map { case (t, rows) => t -> (p.termIdf(t), rows) }
-        Wand.topk(qid, lists, p.avgdl, p.k)
+        Wand.topk(qid, lists, p.avgdl, p.k,
+          effortOut = e => effort.foreach(_.sink(e)))
       }
     hits.toDF()
       .select($"query_id", $"rank", $"doc_id", $"score_micro")
@@ -109,7 +130,7 @@ object QueryEngine {
     * disjoint union = top-k of per-part top-k's under the frozen total
     * order. */
   def runDocPartitioned(spark: SparkSession, postings: Dataset[PostingRow],
-                        plan: Plan): DataFrame = {
+                        plan: Plan, effort: Option[EffortAccs] = None): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(plan)
     val terms = plan.termToQueries.keys.toSeq
@@ -140,7 +161,8 @@ object QueryEngine {
             val lists = qts.iterator.flatMap { t =>
               termRows.get(t).map(rows => t -> (p.termIdf(t), rows.toSeq))
             }.toMap
-            val hits = Wand.topk(qid, lists, p.avgdl, p.k, cache.decode)
+            val hits = Wand.topk(qid, lists, p.avgdl, p.k, cache.decode,
+              effortOut = e => effort.foreach(_.sink(e)))
             (qid, hits.map(h => TopK.Cand(h.doc_id, h.score_micro)))
           }
         }
@@ -161,7 +183,8 @@ object QueryEngine {
     * per-query path. */
   def runOnIndex(spark: SparkSession, dir: String,
                  queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
-                 k: Int = QuerySet.K): DataFrame = {
+                 k: Int = QuerySet.K,
+                 effort: Option[EffortAccs] = None): DataFrame = {
     import spark.implicits._
     val meta = IndexBuild.readMeta(spark, dir)
     val qTerms = queries.flatMap(_._2).distinct
@@ -172,12 +195,12 @@ object QueryEngine {
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
     val p = plan(cs, termDf, queries, k)
     if (meta.doc_partitioned)
-      runDocPartitioned(spark, IndexBuild.readSegments(spark, dir), p)
+      runDocPartitioned(spark, IndexBuild.readSegments(spark, dir), p, effort)
     else {
       val partIds = candidatePartIds(spark, meta, candidatePairs(meta, termDf, queries))
       val segments = IndexBuild.readSegments(spark, dir)
         .where($"part_id".isin(partIds: _*))
-      run(spark, segments, p)
+      run(spark, segments, p, effort)
     }
   }
 }

@@ -125,16 +125,28 @@ object Wand {
     }
   }
 
+  /** Pruning-effort counters for one topk call (reference analog:
+    * `avg_searched_cnt` / `num_searched_cluster`,
+    * `src/index_ivfpq.cpp:257-294`). */
+  final case class Effort(blocksTotal: Long, blocksDecoded: Long, docsScored: Long)
+
   /** Run WAND for one query. `lists`: term -> its PostingRows (only terms
     * present in the index). Returns hits best-first with 1-based ranks.
     * `decoder`: pass a shared [[BlockCache]].decode when many queries
-    * visit the same blocks (batched doc-partitioned serving). */
+    * visit the same blocks (batched doc-partitioned serving).
+    * `effortOut`: optional per-call effort sink (metrics). */
   def topk(queryId: Int, lists: Map[String, (Double, Seq[PostingRow])],
            avgdl: Double, k: Int,
-           decoder: Block => (Array[Long], Array[Int], Array[Int]) = Codec.decodeBlock): Seq[Hit] = {
+           decoder: Block => (Array[Long], Array[Int], Array[Int]) = Codec.decodeBlock,
+           effortOut: Effort => Unit = _ => ()): Seq[Hit] = {
+    var docsScored = 0L
     var cursors: Array[TermCursor] = lists.iterator.map { case (term, (idf, rows)) =>
       new TermCursor(term, idf, avgdl, rows, decoder)
     }.toArray
+    val allCursors = cursors
+    val blocksTotal = lists.valuesIterator.map(_._2.iterator.map(_.blocks.size.toLong).sum).sum
+    def emitEffort(): Unit =
+      effortOut(Effort(blocksTotal, allCursors.iterator.map(_.blocksDecoded).sum, docsScored))
     cursors.foreach(_.next())
     cursors = cursors.filterNot(_.exhausted)
 
@@ -156,7 +168,7 @@ object Wand {
         if (acc >= th) p = i
         i += 1
       }
-      if (p < 0) return finish(queryId, heap) // nothing can reach top-k
+      if (p < 0) { emitEffort(); return finish(queryId, heap) } // nothing can reach top-k
       val pivotDoc = cursors(p).curDoc
       if (cursors(0).curDoc == pivotDoc) {
         // Block-max check: Σ current-block UBs over cursors at pivotDoc —
@@ -172,6 +184,7 @@ object Wand {
           var m = 0
           while (m < j) { s += cursors(m).contrib; m += 1 }
           heap = TopK.insert(heap, TopK.Cand(pivotDoc, s), k)
+          docsScored += 1
         }
         var m = 0
         while (m < j) { cursors(m).next(); m += 1 }
@@ -189,6 +202,7 @@ object Wand {
       }
       cursors = cursors.filterNot(_.exhausted)
     }
+    emitEffort()
     finish(queryId, heap)
   }
 
