@@ -53,7 +53,8 @@ object QueryEngine {
       avgdl: Double,
       termIdf: Map[String, Double],
       termToQueries: Map[String, Seq[Int]],
-      queryTermSets: Map[Int, Seq[String]])
+      queryTermSets: Map[Int, Seq[String]],
+      bucketWidth: Long = 0L) // doc-partitioned batch scoring needs the geometry
 
   /** Build the batch plan from per-term stats (df) + corpus scalars.
     * `termStats` may be the full stats table; only query terms are used. */
@@ -67,6 +68,50 @@ object QueryEngine {
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
     val qts = queries.map { case (qid, ts) => qid -> ts.filter(termDf.contains) }.toMap
     Plan(k, cs.avgdl, idf, t2q, qts)
+  }
+
+  /** Batched per-bucket scorer: shared-contribution term-at-a-time.
+    *
+    * Per bucket: decode each term's postings ONCE and precompute its
+    * integer micro-contributions ONCE (every query using the term reuses
+    * them — the whole-batch analog of the reference's per-query DTable);
+    * then each query accumulates sparse integer adds into a dense
+    * bucket-width array (stamp-cleared, reused across queries/buckets)
+    * and takes its bounded top-k. Exhaustive within the bucket ⇒ exactly
+    * the integer-micro scores of the oracle; preferable to per-query WAND
+    * when nq is large and terms are head-heavy (no cursor machinery, no
+    * per-query re-decode, branch-free inner loops). */
+  final class BucketTaat(width: Int, k: Int) {
+    private val scores = new Array[Long](width)
+    private val stamp = new Array[Int](width)
+    private val touched = new Array[Int](width)
+    private var curStamp = 0
+
+    /** termLists: per term of this bucket, (docIdx within bucket, contribMicro). */
+    def score(queryTerms: Seq[String],
+              termLists: scala.collection.Map[String, (Array[Int], Array[Long])]): (Seq[TopK.Cand], Int) = {
+      curStamp += 1
+      var nTouched = 0
+      queryTerms.foreach { t =>
+        termLists.get(t).foreach { case (idxs, cs) =>
+          var i = 0
+          while (i < idxs.length) {
+            val ix = idxs(i)
+            if (stamp(ix) != curStamp) {
+              stamp(ix) = curStamp; scores(ix) = cs(i); touched(nTouched) = ix; nTouched += 1
+            } else scores(ix) += cs(i)
+            i += 1
+          }
+        }
+      }
+      var heap: Seq[TopK.Cand] = Vector.empty
+      var j = 0
+      while (j < nTouched) {
+        heap = TopK.insert(heap, TopK.Cand(touched(j).toLong, scores(touched(j))), k)
+        j += 1
+      }
+      (heap, nTouched) // doc_id is the IN-BUCKET index; caller adds the base
+    }
   }
 
   /** Run the batch over a postings Dataset (in-memory or disk-backed).
@@ -134,15 +179,18 @@ object QueryEngine {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(plan)
     val terms = plan.termToQueries.keys.toSeq
+    val width = plan.bucketWidth.toInt
+    require(width > 0, "doc-partitioned plan needs bucketWidth from meta")
     val partials: Dataset[(Int, Seq[TopK.Cand])] = postings
       .where($"term".isin(terms: _*))
       // The pruned posting set is compact parquet — a plain scan packs it
       // into very few input splits (maxPartitionBytes), serializing the
-      // WAND work. Spread buckets across the cluster; the shuffle moves
+      // scoring work. Spread buckets across the cluster; the shuffle moves
       // only the pruned, compressed lists.
       .repartition($"bucket")
       .mapPartitions { it =>
         val p = bc.value
+        val w = p.bucketWidth.toInt
         // bucket -> term -> rows (one row per (term,bucket) normally;
         // merged inputs may contribute several)
         val byBucket = scala.collection.mutable.Map
@@ -151,19 +199,47 @@ object QueryEngine {
           byBucket.getOrElseUpdate(r.bucket, scala.collection.mutable.Map.empty)
             .getOrElseUpdate(r.term, scala.collection.mutable.ArrayBuffer.empty) += r
         }
-        byBucket.iterator.flatMap { case (_, termRows) =>
-          // blocks of this bucket decode ONCE, shared across all queries
-          val cache = new Wand.BlockCache
+        val taat = new BucketTaat(w, p.k)
+        byBucket.iterator.flatMap { case (bucket, termRows) =>
+          val base = bucket.toLong * w
+          // decode each term's postings ONCE; precompute micro-contribs
+          // ONCE, shared by every query using the term
+          var bucketBlocks = 0L
+          val termLists: Map[String, (Array[Int], Array[Long])] =
+            termRows.iterator.map { case (t, rows) =>
+              val idf = p.termIdf(t)
+              val n = rows.iterator.map(_.n).sum.toInt
+              val idxs = new Array[Int](n)
+              val cs = new Array[Long](n)
+              var o = 0
+              rows.sortBy(_.min_doc).foreach { r =>
+                bucketBlocks += r.blocks.size
+                r.blocks.foreach { b =>
+                  val (ds, tfs, dls) = Codec.decodeBlock(b)
+                  var i = 0
+                  while (i < ds.length) {
+                    idxs(o) = (ds(i) - base).toInt
+                    cs(o) = Bm25.contribMicro(idf, tfs(i).toLong, dls(i).toLong, p.avgdl)
+                    o += 1; i += 1
+                  }
+                }
+              }
+              t -> (idxs, cs)
+            }.toMap
           val queriesHere = termRows.keysIterator
             .flatMap(t => p.termToQueries.getOrElse(t, Nil)).toSet
+          // blocksTotal = naive per-query decode cost; blocksDecoded = the
+          // actual once-per-bucket decodes — the ratio is the sharing win
+          effort.foreach { a =>
+            a.blocksTotal.add(bucketBlocks * queriesHere.size)
+            a.blocksDecoded.add(bucketBlocks)
+          }
           queriesHere.iterator.map { qid =>
-            val qts = p.queryTermSets(qid)
-            val lists = qts.iterator.flatMap { t =>
-              termRows.get(t).map(rows => t -> (p.termIdf(t), rows.toSeq))
-            }.toMap
-            val hits = Wand.topk(qid, lists, p.avgdl, p.k, cache.decode,
-              effortOut = e => effort.foreach(_.sink(e)))
-            (qid, hits.map(h => TopK.Cand(h.doc_id, h.score_micro)))
+            val (cands, nTouched) = taat.score(p.queryTermSets(qid), termLists)
+            effort.foreach { a =>
+              a.wandCalls.add(1L); a.docsScored.add(nTouched.toLong)
+            }
+            (qid, cands.map(c => TopK.Cand(base + c.doc_id, c.score_micro)))
           }
         }
       }
@@ -193,7 +269,7 @@ object QueryEngine {
       .where($"term".isin(qTerms: _*))
       .select($"term", $"df").as[(String, Long)].collect().toMap
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
-    val p = plan(cs, termDf, queries, k)
+    val p = plan(cs, termDf, queries, k).copy(bucketWidth = meta.bucket_width)
     if (meta.doc_partitioned)
       runDocPartitioned(spark, IndexBuild.readSegments(spark, dir), p, effort)
     else {
