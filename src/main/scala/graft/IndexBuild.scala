@@ -40,12 +40,21 @@ object IndexBuild {
     *   per-partition heaps — the treeReduce shape of the north star. The
     *   same duality as the reference's offline per-cluster files vs
     *   LoadFromBook serving selection. */
+  /** @param headSampleInv head-term detection sampling: the salting
+    *   decision (df > headDf) is estimated from the deterministic doc
+    *   sample `doc_id % headSampleInv == 0` (1 = exact full pass). The
+    *   head set only shapes the LAYOUT — query results, resume and merge
+    *   determinism are unaffected — so at web scale a 1-3% sample replaces
+    *   a full tokenize pass (the reference's own precedent: Train() fits
+    *   the routing model on an nsamples subset, `src/index_ivf.cpp:43-62`).
+    */
   final case class Config(
       numPartitions: Int = 32,
       bucketWidth: Long = 128,
       headDf: Long = 300,
       blockSize: Int = Codec.BlockSize,
-      docPartitioned: Boolean = false)
+      docPartitioned: Boolean = false,
+      headSampleInv: Int = 1)
 
   /** Meta row persisted with the index: corpus scalars + the build config
     * (query-time pruning must use the SAME hash geometry). */
@@ -99,15 +108,56 @@ object IndexBuild {
           acc.getOrElseUpdate((t, bucket), new ArrayBuffer[(Long, Int, Int)]()) +=
             ((d, tfv.toInt, dlv.toInt))
         }
-        acc.iterator.map { case ((t, bucket), buf) =>
-          val s = buf.sortInPlace()(Ordering.by(_._1))
-          val partId = if (docPart) bucket % p else partIdOf(t, bucket, p)
-          PostingRow(partId, t, bucket, s.length.toLong, s.head._1,
-            Codec.encodeBlocks(s.map(_._1).toArray, s.map(_._2).toArray,
-              s.map(_._3).toArray, blockSize))
-        }
+        emitPartials(acc, docPart, p, blockSize)
       }
   }
+
+  /** FUSED map pass: (doc_id, text) → tokenize → per-doc tf → posting
+    * accumulator, all inside ONE task with no intermediate row encoding.
+    * The tf-row variant above materializes one Tuple4 + String per
+    * (doc, term) pair across the Encoder boundary (~29M objects at bench
+    * scale); this fuses to one boundary object per DOCUMENT. Emits the
+    * identical partial rows (spec: fused == tf-row path, bit-exact). */
+  def partialPostingsFromDocs(spark: SparkSession, docs: DataFrame,
+                              headTerms: Set[String], cfg: Config): Dataset[PostingRow] = {
+    import spark.implicits._
+    val headsBc = spark.sparkContext.broadcast(headTerms)
+    val docPart = cfg.docPartitioned
+    val width = cfg.bucketWidth
+    val p = cfg.numPartitions
+    val blockSize = cfg.blockSize
+    docs.select($"doc_id", Tokenize.tokensCol($"text").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val heads = headsBc.value
+        val acc = scala.collection.mutable.HashMap
+          .empty[(String, Int), ArrayBuffer[(Long, Int, Int)]]
+        val m = new scala.collection.mutable.HashMap[String, Int]()
+        it.foreach { case (d, toks) =>
+          val dl = toks.length
+          m.clear()
+          toks.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+          m.foreach { case (t, tfv) =>
+            val bucket = if (docPart || heads.contains(t)) (d / width).toInt else 0
+            acc.getOrElseUpdate((t, bucket), new ArrayBuffer[(Long, Int, Int)]()) +=
+              ((d, tfv, dl))
+          }
+        }
+        emitPartials(acc, docPart, p, blockSize)
+      }
+  }
+
+  private def emitPartials(
+      acc: scala.collection.mutable.HashMap[(String, Int), ArrayBuffer[(Long, Int, Int)]],
+      docPart: Boolean, p: Int, blockSize: Int): Iterator[PostingRow] =
+    acc.iterator.map { case ((t, bucket), buf) =>
+      val s = buf.sortInPlace()(Ordering.by(_._1))
+      val partId = if (docPart) bucket % p else partIdOf(t, bucket, p)
+      var cf = 0L; s.foreach(cf += _._2)
+      PostingRow(partId, t, bucket, s.length.toLong, cf, s.head._1,
+        Codec.encodeBlocks(s.map(_._1).toArray, s.map(_._2).toArray,
+          s.map(_._3).toArray, blockSize))
+    }
 
   /** Reduce-side merge of partial posting rows (clustered by
     * (term, bucket)): k sorted runs → one sorted list → final blocks.
@@ -120,29 +170,37 @@ object IndexBuild {
       def next(): PostingRow = {
         val head = it.head
         val all = new ArrayBuffer[(Long, Int, Int)]()
+        var cf = 0L
         while (it.hasNext && it.head.term == head.term && it.head.bucket == head.bucket) {
-          it.next().blocks.foreach { b =>
+          val row = it.next()
+          cf += row.cf
+          row.blocks.foreach { b =>
             val (ds, ts, ls) = Codec.decodeBlock(b)
             var i = 0
             while (i < ds.length) { all += ((ds(i), ts(i), ls(i))); i += 1 }
           }
         }
         val s = all.sortInPlace()(Ordering.by(_._1))
-        PostingRow(head.part_id, head.term, head.bucket, s.length.toLong, s.head._1,
+        PostingRow(head.part_id, head.term, head.bucket, s.length.toLong, cf, s.head._1,
           Codec.encodeBlocks(s.map(_._1).toArray, s.map(_._2).toArray,
             s.map(_._3).toArray, blockSize))
       }
     }
 
-  /** The partial→shuffle→merge posting pipeline shared by build + merge. */
-  def postingsPipeline(spark: SparkSession, tf: DataFrame, headTerms: Set[String],
-                       cfg: Config): Dataset[PostingRow] = {
-    import spark.implicits._
-    partialPostings(spark, tf, headTerms, cfg)
+  /** Shuffle + reduce-side run merge over partial posting rows. */
+  def shuffleMerge(partials: Dataset[PostingRow], cfg: Config): Dataset[PostingRow] = {
+    import partials.sparkSession.implicits._
+    partials
       .repartition(cfg.numPartitions, $"part_id")
       .sortWithinPartitions($"term", $"bucket", $"min_doc")
       .mapPartitions(it => mergePartials(it, cfg.blockSize))
   }
+
+  /** The partial→shuffle→merge posting pipeline from tf rows (merge path;
+    * the build path uses the fused [[partialPostingsFromDocs]]). */
+  def postingsPipeline(spark: SparkSession, tf: DataFrame, headTerms: Set[String],
+                       cfg: Config): Dataset[PostingRow] =
+    shuffleMerge(partialPostings(spark, tf, headTerms, cfg), cfg)
 
   /** Head-term set for salting decisions (driver-side; Zipf-tiny). */
   def headTerms(spark: SparkSession, termStats: DataFrame, cfg: Config): Set[String] = {
@@ -151,15 +209,31 @@ object IndexBuild {
     else termStats.where($"df" > cfg.headDf).select($"term").as[String].collect().toSet
   }
 
+  /** Head-term set straight from the corpus, on the deterministic doc
+    * sample `doc_id % headSampleInv == 0` (inv=1 ⇒ exact: identical set to
+    * [[headTerms]] over full term stats — spec-asserted). One tiny job:
+    * per-doc distinct terms → map-side-combined count → scaled threshold. */
+  def sampledHeadTerms(spark: SparkSession, docs: DataFrame, cfg: Config): Set[String] = {
+    import spark.implicits._
+    if (cfg.docPartitioned) return Set.empty
+    val inv = math.max(cfg.headSampleInv, 1)
+    val sampled = if (inv == 1) docs else docs.where(pmod($"doc_id", lit(inv)) === 0)
+    sampled
+      .select(explode(array_distinct(Tokenize.tokensCol($"text"))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .where($"df" * inv > cfg.headDf)
+      .select($"term").as[String].collect().toSet
+  }
+
   /** In-memory build: postings Dataset + stats (no disk IO) — used by the
     * Verify contract and algorithm tests; the disk path below adds only
     * IO + manifest around this same plan. */
   def buildPostings(spark: SparkSession, docs: DataFrame, cfg: Config = Config())
       : (Dataset[PostingRow], DataFrame, CorpusStats) = {
     val cs = Stats.corpus(docs)
-    val tf = Stats.tfRows(docs)
-    val ts = Stats.termStats(tf)
-    val postings = postingsPipeline(spark, tf, headTerms(spark, ts, cfg), cfg)
+    val ts = Stats.termStats(Stats.tfRows(docs))
+    val postings = shuffleMerge(
+      partialPostingsFromDocs(spark, docs, sampledHeadTerms(spark, docs, cfg), cfg), cfg)
     (postings, ts, cs)
   }
 
@@ -186,45 +260,26 @@ object IndexBuild {
         System.err.println(f"[build-phase] $name ${(System.nanoTime() - t) / 1e9}%.2fs")
       r
     }
-    // Cache the (possibly expensive) input expression, not the exploded
-    // token data: it is read twice — once by the tiny-output stats job,
-    // once by the map-side partial-postings job (both tokenize in-task;
-    // tokenization is parallel CPU, cheaper than materializing 10^8+ tf
-    // rows through the block manager).
-    val d = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ts = Stats.termStats(Stats.tfRows(d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // n_docs / max_doc_id need no tokenization; n_tokens = Σ cf over the
-    // (tiny) term-stats table — no extra pass over token data.
-    val statsRow = phase("stats")(
-      ts.agg(sum($"cf"), count(lit(1))).head())
-    val nTokens = statsRow.getLong(0)
-    val docRow = phase("docs-scan")(d.agg(count(lit(1)), max($"doc_id")).head())
-    val cs = CorpusStats(docRow.getLong(0), nTokens, docRow.getLong(1))
-    val meta = Meta(cs.n_docs, cs.n_tokens, cs.max_doc_id,
-      cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
-      cfg.docPartitioned)
-    val heads = headTerms(spark, ts, cfg)
+    // ONE full tokenize pass over the corpus (the fused partials job).
+    // Everything else is cheap: a column-pruned count/max scan, a sampled
+    // head-term probe, and vocab-sized aggs over the built segments.
+    val docRow = phase("docs-scan")(docs.agg(count(lit(1)), max($"doc_id")).head())
+    val nDocs = docRow.getLong(0)
+    val maxDocId = docRow.getLong(1)
+    require(nDocs > 0, "writeIndex needs a non-empty corpus")
+    val heads = phase("head-sample")(sampledHeadTerms(spark, docs, cfg))
 
     val done: Set[Int] =
       if (resume && exists(spark, manifestDir(dir)))
         spark.read.parquet(manifestDir(dir)).select($"part_id").as[Int].collect().toSet
       else Set.empty
-    if (done.isEmpty) phase("stats-write") {
-      ts.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
-      Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/meta")
-    }
 
     // resume filter sits BETWEEN the map-side partials and the shuffle, so
     // already-committed partitions are dropped before any shuffle/merge work
-    val partials0 = partialPostings(spark, Stats.tfRows(d), heads, cfg)
+    val partials0 = partialPostingsFromDocs(spark, docs, heads, cfg)
     val partials = if (done.isEmpty) partials0
                    else partials0.where(!$"part_id".isin(done.toSeq: _*))
-    val postings = partials
-      .repartition(cfg.numPartitions, $"part_id")
-      .sortWithinPartitions($"term", $"bucket", $"min_doc")
-      .mapPartitions(it => mergePartials(it, cfg.blockSize))
-      .persist()
+    val postings = shuffleMerge(partials, cfg).persist()
     try {
       phase("segments-write") {
         postings.write
@@ -232,6 +287,23 @@ object IndexBuild {
           .partitionBy("part_id")
           .parquet(segmentsDir(dir))
       }
+      // Stats derive from the COMPLETE on-disk segments (covers resumed
+      // partitions too): df = Σ n, cf = Σ tf per term — exact, and only a
+      // column-pruned (term, n, cf) scan, no block decode, no second
+      // tokenize pass. The reference's codebook-write analog (S7/S8).
+      val nTokens = phase("stats") {
+        val ts = spark.read.parquet(segmentsDir(dir))
+          .groupBy($"term").agg(sum($"n").as("df"), sum($"cf").as("cf"))
+          .persist()
+        try {
+          ts.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
+          ts.agg(sum($"cf")).head().getLong(0)
+        } finally { ts.unpersist(); () }
+      }
+      val meta = Meta(nDocs, nTokens, maxDocId,
+        cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
+        cfg.docPartitioned)
+      Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/meta")
       // Manifest rows appended LAST (atomic per-partition commit point).
       phase("manifest") {
         val manifest = postings.groupBy($"part_id")
@@ -239,15 +311,14 @@ object IndexBuild {
         manifest.write.mode(SaveMode.Append).parquet(manifestDir(dir))
       }
       val wallSec = (System.nanoTime() - t0) / 1e9
-      Seq((cs.n_docs, cs.n_tokens, wallSec, cs.n_docs / wallSec))
+      Seq((nDocs, nTokens, wallSec, nDocs / wallSec))
         .toDF("n_docs", "n_postings_tokens", "wall_sec", "docs_per_sec")
         .write.mode(SaveMode.Append).parquet(metricsDir(dir))
+      meta
     } finally {
       postings.unpersist()
-      ts.unpersist()
-      d.unpersist()
+      ()
     }
-    meta
   }
 
   def readMeta(spark: SparkSession, dir: String): Meta = {
@@ -259,7 +330,7 @@ object IndexBuild {
     import spark.implicits._
     spark.read.parquet(segmentsDir(dir))
       .select($"part_id".cast("int").as("part_id"), $"term", $"bucket", $"n",
-        $"min_doc", $"blocks")
+        $"cf", $"min_doc", $"blocks")
       .as[PostingRow]
   }
 

@@ -49,6 +49,80 @@ object Merge {
           (coalesce(col("cf_a"), lit(0L)) + coalesce(col("cf_b"), lit(0L))).as("cf"))
     }
 
+  /** FAST merge for inputs covering DISJOINT docId INTERVALS (the web-
+    * scale append case: each crawl batch owns a fresh docId range).
+    * Blocks are self-contained (absolute first docId, headers carry
+    * n/max_doc/max_tf/min_dl), so per (term, bucket) the merged list is
+    * the inputs' block lists CONCATENATED in min_doc order — zero decode,
+    * zero re-encode, no per-posting work; the only data movement is one
+    * shuffle of compressed rows back to their (unchanged) part_id.
+    * Interval disjointness is checked at merge time (run order must be
+    * strictly increasing); interleaved inputs must use [[mergeIndexes]].
+    * Result is posting-identical (not block-boundary-identical) to a
+    * fresh build — block cuts reflect merge history, as in any
+    * log-structured engine; WAND never assumes full blocks. */
+  def concatSegments(rows: Iterator[PostingRow]): Iterator[PostingRow] =
+    new Iterator[PostingRow] {
+      private val it = rows.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): PostingRow = {
+        val head = it.next()
+        var n = head.n; var cf = head.cf
+        var lastMax = head.blocks.last.max_doc
+        val blocks = scala.collection.mutable.ArrayBuffer[Block](head.blocks: _*)
+        while (it.hasNext && it.head.term == head.term && it.head.bucket == head.bucket) {
+          val r = it.next()
+          require(r.min_doc > lastMax,
+            s"interleaved docId ranges for (${head.term},${head.bucket}): " +
+              s"${r.min_doc} <= $lastMax — use mergeIndexes for interleaved inputs")
+          n += r.n; cf += r.cf; lastMax = r.blocks.last.max_doc
+          blocks ++= r.blocks
+        }
+        PostingRow(head.part_id, head.term, head.bucket, n, cf, head.min_doc,
+          blocks.toSeq)
+      }
+    }
+
+  /** Fast-path N-way index merge by block concatenation (see
+    * [[concatSegments]]). Same manifest/stats/meta contract as
+    * [[mergeIndexes]]; stats still merge via the Catalyst full-outer
+    * join (exact, additive). */
+  def concatMergeIndexes(spark: SparkSession, dirs: Seq[String], outDir: String): IndexBuild.Meta = {
+    import spark.implicits._
+    require(dirs.size >= 2, "merge needs at least two inputs")
+    val metas = dirs.map(IndexBuild.readMeta(spark, _))
+    val cfgs = metas.map(m => (m.num_partitions, m.bucket_width, m.head_df,
+      m.block_size, m.doc_partitioned)).distinct
+    require(cfgs.size == 1, s"mismatched build configs across inputs: $cfgs")
+    val meta = IndexBuild.Meta(
+      n_docs = metas.map(_.n_docs).sum,
+      n_tokens = metas.map(_.n_tokens).sum,
+      max_doc_id = metas.map(_.max_doc_id).max,
+      num_partitions = metas.head.num_partitions,
+      bucket_width = metas.head.bucket_width,
+      head_df = metas.head.head_df, block_size = metas.head.block_size,
+      doc_partitioned = metas.head.doc_partitioned)
+
+    val ts = mergeTermStats(dirs.map(d => spark.read.parquet(s"$d/stats/terms")))
+    ts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
+    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
+
+    val postings = dirs.map(IndexBuild.readSegments(spark, _))
+      .reduce(_ unionByName _)
+      .repartition(meta.num_partitions, $"part_id")
+      .sortWithinPartitions($"term", $"bucket", $"min_doc")
+      .mapPartitions(concatSegments _)
+      .persist()
+    try {
+      postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")
+        .parquet(IndexBuild.segmentsDir(outDir))
+      postings.groupBy($"part_id")
+        .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
+        .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
+    } finally { postings.unpersist(); () }
+    meta
+  }
+
   /** Merge N on-disk indexes into `outDir`. Inputs must have identical
     * build configs and disjoint doc sets. */
   def mergeIndexes(spark: SparkSession, dirs: Seq[String], outDir: String): IndexBuild.Meta = {

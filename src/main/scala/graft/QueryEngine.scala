@@ -151,6 +151,22 @@ object QueryEngine {
     }
   }
 
+  /** Partition set for a batch, or None = scan all partitions. A salted
+    * head term's buckets hash across ALL partitions once buckets ≫ P
+    * (at 10^12 docs a head term has ~10^8 buckets — enumerating them
+    * driver-side would itself be the bottleneck), so head-term batches
+    * skip partition pruning and rely on the term predicate's row-group
+    * pushdown; rare-term batches keep exact single-partition pruning. */
+  def prunedPartIds(spark: SparkSession, meta: IndexBuild.Meta,
+                    termDf: Map[String, Long],
+                    queries: Seq[(Int, Seq[String])]): Option[Seq[Int]] = {
+    val numBuckets = meta.max_doc_id / meta.bucket_width + 1
+    val hasHead = queries.flatMap(_._2).distinct
+      .exists(t => termDf.get(t).exists(_ > meta.head_df))
+    if (hasHead && numBuckets > 4L * meta.num_partitions) None
+    else Some(candidatePartIds(spark, meta, candidatePairs(meta, termDf, queries)))
+  }
+
   /** part_id for each candidate pair, computed with the SAME Catalyst
     * xxhash64 expression the build used (tiny local job ⇒ exact parity,
     * no hand-rolled hash drift). */
@@ -273,9 +289,11 @@ object QueryEngine {
     if (meta.doc_partitioned)
       runDocPartitioned(spark, IndexBuild.readSegments(spark, dir), p, effort)
     else {
-      val partIds = candidatePartIds(spark, meta, candidatePairs(meta, termDf, queries))
-      val segments = IndexBuild.readSegments(spark, dir)
-        .where($"part_id".isin(partIds: _*))
+      val segments0 = IndexBuild.readSegments(spark, dir)
+      val segments = prunedPartIds(spark, meta, termDf, queries) match {
+        case Some(partIds) => segments0.where($"part_id".isin(partIds: _*))
+        case None          => segments0
+      }
       run(spark, segments, p, effort)
     }
   }

@@ -41,6 +41,15 @@ object SparkEntry {
         .select(col("term"), col("df"), col("cf"))
         .orderBy("term")
     }),
+    // term stats derived FROM the built segments (df = Σ n, cf = Σ tf per
+    // term) — the single-tokenize-pass build's stats path, proven against
+    // the same DuckDB tokenize-and-count oracle as q_term_stats.
+    "q_term_stats_indexed" -> ((s, dir) => {
+      val (postings, _, _) = IndexBuild.buildPostings(s, docs(s, dir), testConfig)
+      postings.groupBy(col("term"))
+        .agg(sum(col("n")).as("df"), sum(col("cf")).as("cf"))
+        .orderBy("term")
+    }),
     "q_doc_len" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"),
@@ -98,6 +107,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_corpus_stats"    -> OracleSql.corpusStatsSql,
     "q_term_stats"      -> OracleSql.termStatsSql,
+    "q_term_stats_indexed" -> OracleSql.termStatsSql,
     "q_doc_len"         -> OracleSql.docLenSql,
     "q_topk_oracle"     -> OracleSql.topkSql(),
     "q_topk_heap"       -> OracleSql.topkSql(),

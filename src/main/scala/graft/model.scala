@@ -42,6 +42,7 @@ final case class PostingRow(
     term: String,
     bucket: Int,
     n: Long,
+    cf: Long, // Σ tf within this sub-list: term stats derive from segments
     min_doc: Long,
     blocks: Seq[Block]
 )

@@ -104,4 +104,31 @@ class EngineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fused doc→postings pass == tf-row pass; sampled heads (inv=1) == exact heads") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, "/root/testdata/sf0.01")
+    val cfg = SparkEntry.testConfig
+    val ts = Stats.termStats(Stats.tfRows(docs))
+    val exactHeads = IndexBuild.headTerms(spark, ts, cfg)
+    assert(IndexBuild.sampledHeadTerms(spark, docs, cfg) == exactHeads)
+
+    def norm(rows: Seq[PostingRow]) =
+      rows.sortBy(r => (r.term, r.bucket))
+        .map(r => (r.part_id, r.term, r.bucket, r.n, r.cf, r.min_doc,
+          r.blocks.map(b => (b.max_doc, b.n, b.max_tf, b.min_dl, b.bytes.toSeq))))
+    val viaTf = IndexBuild.postingsPipeline(spark, Stats.tfRows(docs), exactHeads, cfg)
+    val viaDocs = IndexBuild.shuffleMerge(
+      IndexBuild.partialPostingsFromDocs(spark, docs, exactHeads, cfg), cfg)
+    assert(norm(viaDocs.collect().toSeq) == norm(viaTf.collect().toSeq))
+
+    // stats derived from segments == tokenize-and-count stats
+    val derived = viaDocs.groupBy($"term")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("df"),
+        org.apache.spark.sql.functions.sum($"cf").as("cf"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val direct = ts.select($"term", $"df", $"cf")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(derived == direct)
+  }
 }

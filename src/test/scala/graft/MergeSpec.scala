@@ -62,4 +62,48 @@ class MergeSpec extends AnyFunSuite {
     assert(rows(onePass) == rows(twoPass))
     docs.unpersist()
   }
+
+  test("concat fast merge (disjoint docId intervals): posting-identical, query-identical") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, sfDir).cache()
+    val mid = 250L // sf0.01 has doc_id 0..499 — two disjoint INTERVALS
+    val full = tmpDir(); val lo = tmpDir(); val hi = tmpDir(); val merged = tmpDir()
+    IndexBuild.writeIndex(spark, docs, full, SparkEntry.testConfig)
+    IndexBuild.writeIndex(spark, docs.where($"doc_id" < mid), lo, SparkEntry.testConfig)
+    IndexBuild.writeIndex(spark, docs.where($"doc_id" >= mid), hi, SparkEntry.testConfig)
+    Merge.concatMergeIndexes(spark, Seq(lo, hi), merged)
+
+    // stats and meta identical to the full build (exact additive merge)
+    assert(IndexBuild.readMeta(spark, merged) == IndexBuild.readMeta(spark, full))
+    val st = (d: String) => spark.read.parquet(s"$d/stats/terms")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(st(merged) == st(full))
+    // POSTING-identical (block boundaries may differ — no decode happened)
+    val dec = (d: String) => IndexBuild.readSegments(spark, d)
+      .flatMap(Codec.decodeAll _).as[Posting]
+      .collect().toSeq.sortBy(p => (p.term, p.doc_id))
+    assert(dec(merged) == dec(full))
+    // per-row invariants survive concat: n/cf/min_doc consistent with blocks
+    IndexBuild.readSegments(spark, merged).collect().foreach { r =>
+      assert(r.n == r.blocks.map(_.n.toLong).sum)
+      val ps = Codec.decodeAll(r)
+      assert(r.cf == ps.map(_.tf).sum && r.min_doc == ps.head.doc_id)
+      assert(ps.map(_.doc_id) == ps.map(_.doc_id).sorted)
+    }
+    // query results identical to the exact oracle
+    val q = QueryEngine.runOnIndex(spark, merged)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val oracle = Oracle.topk(spark, docs).as[(Int, Int, Long, Long)].collect().toSeq
+    assert(q == oracle)
+
+    // interleaved inputs are rejected (must use the re-encoding merge)
+    val e0 = tmpDir(); val e1 = tmpDir(); val bad = tmpDir()
+    IndexBuild.writeIndex(spark, docs.where($"doc_id" % 2 === 0), e0, SparkEntry.testConfig)
+    IndexBuild.writeIndex(spark, docs.where($"doc_id" % 2 === 1), e1, SparkEntry.testConfig)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Merge.concatMergeIndexes(spark, Seq(e0, e1), bad)
+    }
+    assert(ex.getMessage != null)
+    docs.unpersist()
+  }
 }

@@ -29,13 +29,14 @@ class WandSpec extends AnyFunSuite {
                 val blocks = Codec.encodeBlocks(
                   ps.map(_._1).toArray, ps.map(_._2.toInt).toArray,
                   ps.map(p => dl(p._1).toInt).toArray, blockSize = 8)
-                PostingRow(0, t, b, ps.length.toLong, ps.head._1, blocks)
+                PostingRow(0, t, b, ps.length.toLong, ps.map(_._2).sum, ps.head._1, blocks)
               }
           else {
             val blocks = Codec.encodeBlocks(
               postings.map(_._1).toArray, postings.map(_._2.toInt).toArray,
               postings.map(p => dl(p._1).toInt).toArray, blockSize = 8)
-            Seq(PostingRow(0, t, 0, postings.length.toLong, postings.head._1, blocks))
+            Seq(PostingRow(0, t, 0, postings.length.toLong, postings.map(_._2).sum,
+              postings.head._1, blocks))
           }
         Some(t -> (idf, rows))
       }
