@@ -46,6 +46,9 @@ object Bench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.adaptive.enabled", "false")
+      // direct task-output commit (no serial driver-side rename sweep);
+      // safe here: no speculative execution in local mode
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -101,16 +104,24 @@ object Bench {
       // (measured ~2× the steady-state build); the metric is steady-state.
       IndexBuild.writeIndex(spark, docs, serveDir, serveCfg)
 
-      // build metric: the north-rule TERM-partitioned index
-      val t0 = System.nanoTime()
-      IndexBuild.writeIndex(spark, docs, dir, cfg)
-      val buildSec = (System.nanoTime() - t0) / 1e9
+      // build metric: the north-rule TERM-partitioned index. Best-of-2
+      // INSIDE the pinned JVM: co-tenant load on this shared host swings
+      // identical builds >2x mid-run, and min() is the only estimator
+      // that converges on the engine's cost rather than the neighbors'.
+      def timed(body: => Unit): Double = {
+        val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
+      }
+      val buildSec = (1 to 2).map { _ =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        timed(IndexBuild.writeIndex(spark, docs, dir, cfg))
+      }.min
 
       val batch = queryBatch(nReps)
       QueryEngine.runOnIndex(spark, serveDir, QuerySet.queryTerms).count() // warm reads
-      val t1 = System.nanoTime()
-      val hits = QueryEngine.runOnIndex(spark, serveDir, batch).count()
-      val querySec = (System.nanoTime() - t1) / 1e9
+      var hits = 0L
+      val querySec = (1 to 2).map { _ =>
+        timed { hits = QueryEngine.runOnIndex(spark, serveDir, batch).count() }
+      }.min
       Point(cpus, buildSec, nDocs / buildSec, querySec,
         querySec / batch.size, hits, nDocs)
     } finally {
@@ -163,11 +174,21 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Spawn one measurement point in a fresh JVM pinned to `cpus` cores. */
+  /** Spawn one measurement point in a fresh JVM pinned to `cpus` cores.
+    * Pinning is HARD OS affinity (`taskset -c 0-(n-1)`), not just
+    * `ActiveProcessorCount`: the latter caps task/GC THREAD COUNTS but
+    * the OS still schedules those threads across all host cores, so an
+    * unpinned "4-core" point borrows IO/GC cycles from the other 28
+    * vCPUs (measured 1.5x faster than a truly-4-core run — which
+    * understates scaling efficiency structurally). */
   def spawnPoint(cpus: Int, sfDir: String, scale: Int, nReps: Int): Point = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
-    val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
+    val affinity: Seq[String] =
+      if (new java.io.File("/usr/bin/taskset").exists)
+        Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
+      else Seq.empty
+    val cmd: Seq[String] = affinity ++ Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$mem",
       s"-XX:ActiveProcessorCount=$cpus",
       "-XX:+UseParallelGC", // batch throughput collector; GC threads scale with the pin
@@ -191,7 +212,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "200").toInt
+    // 4M docs: large enough that the parallel posting pass dominates
+    // Spark's ~constant per-job overhead (Amdahl fit at 1M docs gave ~9s
+    // serial vs ~29 core-s parallel — the efficiency reading was
+    // measuring the constant, not the engine) and the nq=1000 query job
+    // runs ~7s at 16 cores (amortized past its ~1s fixed cost).
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "800").toInt
     val nReps = sys.env.getOrElse("SPARK_GRAFT_QREPS", "50").toInt
     // headSampleInv=32: the salting head set comes from a deterministic
     // ~3% doc sample (layout-only decision; results provably unaffected) —
@@ -215,8 +241,12 @@ object Bench {
     val cpusLo = sys.env.get("SPARK_GRAFT_CPUS_LO").map(_.toInt).getOrElse(probeLo)
     val cpusHi = sys.env.get("SPARK_GRAFT_CPUS_HI").map(_.toInt).getOrElse(probeHi)
     val t0 = System.nanoTime()
-    // A-B-A-B child JVMs, best-of-2 per point (kills order + host noise).
-    val pts = Seq(cpusHi, cpusLo, cpusHi, cpusLo)
+    // Alternating child JVMs, best-of-N per point (kills order bias; N
+    // alternations give N chances for each point to land in a quiet
+    // window of this shared host — identical runs 30 min apart have
+    // measured 2x apart, and one slow HIGH point wrecks the ratio).
+    val outerReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val pts = Seq.fill(outerReps)(Seq(cpusHi, cpusLo)).flatten
       .map(c => spawnPoint(c, sfDir, scale, nReps))
     def best(c: Int): Point = {
       val mine = pts.filter(_.cpus == c)

@@ -287,29 +287,41 @@ object IndexBuild {
           .partitionBy("part_id")
           .parquet(segmentsDir(dir))
       }
-      // Stats derive from the COMPLETE on-disk segments (covers resumed
-      // partitions too): df = Σ n, cf = Σ tf per term — exact, and only a
-      // column-pruned (term, n, cf) scan, no block decode, no second
-      // tokenize pass. The reference's codebook-write analog (S7/S8).
-      val nTokens = phase("stats") {
-        val ts = spark.read.parquet(segmentsDir(dir))
-          .groupBy($"term").agg(sum($"n").as("df"), sum($"cf").as("cf"))
-          .persist()
-        try {
-          ts.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
-          ts.agg(sum($"cf")).head().getLong(0)
-        } finally { ts.unpersist(); () }
+      // Stats derive from the COMPLETE index (covers resumed partitions
+      // too): df = Σ n, cf = Σ tf per term — exact, no block decode, no
+      // second tokenize pass. Fresh builds aggregate the persisted
+      // postings in memory; resumed builds re-read the segments so the
+      // stats always describe everything on disk (S7/S8 analog).
+      val statsSrc = if (done.isEmpty) postings.toDF()
+                     else spark.read.parquet(segmentsDir(dir))
+      phase("stats") {
+        statsSrc.groupBy($"term")
+          .agg(sum($"n").as("df"), sum($"cf").as("cf"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
       }
+      // Manifest rows for the partitions THIS run built, appended LAST
+      // (atomic per-partition commit point). On fresh builds n_tokens =
+      // Σ cf over these P driver-side rows — no extra job; a resumed
+      // build re-aggregates the segments (rare path, one small job).
+      val gapTokens = phase("manifest") {
+        val manifest = postings.groupBy($"part_id")
+          .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"),
+            sum($"cf").as("cf_sum"))
+          .collect().toSeq
+        if (manifest.nonEmpty)
+          manifest.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+            .toDF("part_id", "n_lists", "n_postings")
+            .coalesce(1)
+            .write.mode(SaveMode.Append).parquet(manifestDir(dir))
+        manifest.map(_.getLong(3)).sum
+      }
+      val nTokens =
+        if (done.isEmpty) gapTokens
+        else spark.read.parquet(segmentsDir(dir)).agg(sum($"cf")).head().getLong(0)
       val meta = Meta(nDocs, nTokens, maxDocId,
         cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
         cfg.docPartitioned)
       Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/meta")
-      // Manifest rows appended LAST (atomic per-partition commit point).
-      phase("manifest") {
-        val manifest = postings.groupBy($"part_id")
-          .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
-        manifest.write.mode(SaveMode.Append).parquet(manifestDir(dir))
-      }
       val wallSec = (System.nanoTime() - t0) / 1e9
       Seq((nDocs, nTokens, wallSec, nDocs / wallSec))
         .toDF("n_docs", "n_postings_tokens", "wall_sec", "docs_per_sec")
