@@ -88,6 +88,10 @@ object SparkEntry {
     // pruned-probe recall is spec-tested like the reference's Recall@10.
     "q_ann_ivf" -> ((s, dir) =>
       extra.Ann.lshTopk(s, embeddings(s, dir), nprobe = 1 << extra.Ann.NumPlanes)),
+    // the literal reference pipeline: Lloyd k-means coarse quantizer +
+    // nprobe routing (full probe here ⇒ == brute force, oracle-checked)
+    "q_ann_kmeans_ivf" -> ((s, dir) =>
+      extra.Ann.kmeansIvfTopk(s, embeddings(s, dir), nprobe = extra.Ann.KmKc)),
     // --- text analysis ----------------------------------------------------
     "q_token_count" -> ((s, dir) => extra.TextMetrics.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => extra.TextMetrics.quality(docs(s, dir))),
@@ -118,6 +122,7 @@ object SparkEntry {
     "q_dedup_embedding" -> extra.OracleSqlExtra.embeddingDupSql(),
     "q_ann_brute"       -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_ivf"         -> extra.OracleSqlExtra.annBruteSql(),
+    "q_ann_kmeans_ivf"  -> extra.OracleSqlExtra.annBruteSql(),
     "q_token_count"     -> extra.OracleSqlExtra.tokenCountSql,
     "q_quality"         -> extra.OracleSqlExtra.qualitySql,
     "q_pages_extract"   -> extra.OracleSqlExtra.pagesExtractSql,

@@ -84,6 +84,97 @@ object Ann {
       .sortBy(c => (Integer.bitCount(c ^ querySig), c))
       .take(nprobe)
 
+  // ---- k-means IVF: the literal reference pipeline -----------------------
+  // Train (Lloyd, seeded/deterministic) → assign rows to coarse cells →
+  // nprobe-nearest-centroid routing → exact scoring inside probed cells.
+  // Reference: KMeans `include/kmeans.hpp:45-104`, Train
+  // `src/index_ivf.cpp:39-70`, predict_one `src/quantizer.cpp:41-46`,
+  // top-W routing `src/index_ivf.cpp:197-203`.
+
+  val KmKc = 16 // coarse cells (kc); test corpus is 500-5000 vectors
+
+  /** Deterministic Lloyd k-means over the embedding column, expressed as
+    * Catalyst jobs per iteration: broadcast-centroid argmin assignment →
+    * `posexplode` + `groupBy(label, pos).avg` centroid update (the
+    * reference's grouped-AVG update, kmeans.hpp:83-100). Init = the kc
+    * lowest vec_ids (deterministic; reference uses a seeded shuffle).
+    * Clusters that lose all members keep their previous centroid. */
+  def kmeansFit(emb: DataFrame, kc: Int = KmKc, iters: Int = 8): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Double]] = emb
+      .orderBy($"vec_id").limit(kc)
+      .select($"embedding").as[Seq[Float]].collect()
+      .map(_.toArray.map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val cb = centroids // stable closure capture per iteration
+      val assignUdf = udf((v: Seq[Float]) => argminL2(v, cb))
+      val updated = emb
+        .select(assignUdf($"embedding").as("label"), posexplode($"embedding"))
+        .groupBy($"label", $"pos").agg(avg($"col").as("c"))
+        .collect()
+      val next = centroids.map(_.clone())
+      updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id by L2² (predict_one analog; ties → lowest id). */
+  def argminL2(v: Seq[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ctr = centroids(c)
+      val n = math.min(v.length, ctr.length)
+      while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Centroid probe order for a query vector: by L2² ascending (the
+    * reference's coarse partial_sort top-W, ties by cell id). */
+  def probeCellsKmeans(v: Seq[Float], centroids: Array[Array[Double]],
+                       nprobe: Int): Seq[Int] = {
+    centroids.indices
+      .sortBy { c =>
+        var d = 0.0; var i = 0
+        val ctr = centroids(c)
+        val n = math.min(v.length, ctr.length)
+        while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        (d, c)
+      }
+      .take(nprobe)
+  }
+
+  /** k-means-IVF pruned top-k: train on the table itself (the reference
+    * trains on the database), route each query to its nprobe nearest
+    * cells, exact cosine inside. nprobe = KmKc ⇒ provably == [[bruteTopk]]
+    * (every cell probed — the DuckDB-checked contract). */
+  def kmeansIvfTopk(spark: SparkSession, emb: DataFrame, nprobe: Int,
+                    k: Int = K, nq: Int = NumQueryVecs): DataFrame = {
+    import spark.implicits._
+    val centroids = kmeansFit(emb)
+    val assignUdf = udf((v: Seq[Float]) => argminL2(v, centroids))
+    val cells = emb.withColumn("cell", assignUdf($"embedding"))
+    val probeUdf = udf((v: Seq[Float]) => probeCellsKmeans(v, centroids, nprobe))
+    val q = emb.where($"vec_id" < nq)
+      .select($"vec_id".as("query_vec_id"), $"embedding".as("qe"),
+        probeUdf($"embedding").as("probes"))
+    val pairs = broadcast(q).join(cells,
+        array_contains($"probes", $"cell") && $"vec_id" =!= $"query_vec_id")
+      .select($"query_vec_id", $"vec_id", cosCol($"qe", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_vec_id").orderBy($"cos".desc, $"vec_id".asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_vec_id", $"rank".cast("int").as("rank"),
+        $"vec_id", floor($"cos" * 1e6 + 0.5).cast("long").as("cos_micro"))
+      .orderBy($"query_vec_id", $"rank")
+  }
+
   /** LSH/IVF-style pruned top-k. nprobe = 2^NumPlanes ⇒ exact (== brute). */
   def lshTopk(spark: SparkSession, emb: DataFrame, nprobe: Int,
               k: Int = K, nq: Int = NumQueryVecs): DataFrame = {

@@ -81,6 +81,28 @@ class ExtrasSpec extends AnyFunSuite {
     assert(recall < 1.0001)
   }
 
+  test("ANN: k-means IVF — full probe == brute; pruned recall; deterministic fit") {
+    import spark.implicits._
+    val brute = Ann.bruteTopk(emb).as[(Long, Int, Long, Long)].collect().toSeq
+    val full = Ann.kmeansIvfTopk(spark, emb, nprobe = Ann.KmKc)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(full == brute, "nprobe=kc must equal the exact scan (QueryObs invariant)")
+    // deterministic training: two fits are bit-identical (reference
+    // precedent: fixed seed, tests/test_ivf_sift1m_baseline.cpp:45)
+    val c1 = Ann.kmeansFit(emb).map(_.toSeq).toSeq
+    val c2 = Ann.kmeansFit(emb).map(_.toSeq).toSeq
+    assert(c1 == c2)
+    // pruned probe: recall like the reference's Recall@k harness
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val pruned = Ann.kmeansIvfTopk(spark, emb, nprobe = 4)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = bruteSets.keys.toSeq.map { q =>
+      (bruteSets(q) intersect pruned.getOrElse(q, Set.empty)).size.toDouble / bruteSets(q).size
+    }.sum / bruteSets.size
+    assert(recall >= 0.4, s"recall=$recall") // 4/16 cells probed
+  }
+
   test("pages: extract(html) is byte-identical to text per url") {
     import spark.implicits._
     val audit = Pages.extractAudit(spark, docs).as[(String, String)].collect().toMap
