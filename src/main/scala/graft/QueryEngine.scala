@@ -114,6 +114,22 @@ object QueryEngine {
     }
   }
 
+  /** Restrict postings to the batch's terms. Small batches use `isin`
+    * (literal pushdown → parquet row-group skipping on the term-sorted
+    * files); large batches (thousands of distinct terms — an `isin` of
+    * that size bloats the plan and the pushed filter) use a broadcast
+    * left-semi join, which Catalyst executes as a BroadcastHashJoin with
+    * runtime (DPP-style) filtering. */
+  def whereTerms(postings: Dataset[PostingRow], terms: Seq[String]): Dataset[PostingRow] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    if (terms.size <= 128) postings.where($"term".isin(terms: _*))
+    else {
+      val t = terms.toDF("term")
+      postings.join(broadcast(t), Seq("term"), "left_semi").as[PostingRow]
+    }
+  }
+
   /** Run the batch over a postings Dataset (in-memory or disk-backed).
     * Emits (query_id, rank, doc_id, score_micro), ordered. */
   def run(spark: SparkSession, postings: Dataset[PostingRow], plan: Plan,
@@ -121,8 +137,7 @@ object QueryEngine {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(plan)
     val terms = plan.termToQueries.keys.toSeq
-    val hits = postings
-      .where($"term".isin(terms: _*))
+    val hits = whereTerms(postings, terms)
       .flatMap { row =>
         val p = bc.value
         p.termToQueries.getOrElse(row.term, Nil).map(qid => (qid, row))
@@ -197,8 +212,7 @@ object QueryEngine {
     val terms = plan.termToQueries.keys.toSeq
     val width = plan.bucketWidth.toInt
     require(width > 0, "doc-partitioned plan needs bucketWidth from meta")
-    val partials: Dataset[(Int, Seq[TopK.Cand])] = postings
-      .where($"term".isin(terms: _*))
+    val partials: Dataset[(Int, Seq[TopK.Cand])] = whereTerms(postings, terms)
       // The pruned posting set is compact parquet — a plain scan packs it
       // into very few input splits (maxPartitionBytes), serializing the
       // scoring work. Spread buckets across the cluster; the shuffle moves

@@ -105,6 +105,29 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("whereTerms: broadcast semi-join path (>128 terms) == isin path") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, "/root/testdata/sf0.01")
+    val (postings, ts, _) = IndexBuild.buildPostings(spark, docs, SparkEntry.testConfig)
+    val p = postings.persist()
+    try {
+      // corpus vocab is small; pad with absent terms to cross the 128
+      // threshold (absent terms must match nothing on either path)
+      val vocab = ts.select($"term").as[String].collect().toSeq.sorted ++
+        (0 until 150).map(i => f"zz_absent_$i%03d")
+      assert(vocab.size > 128)
+      val viaJoin = QueryEngine.whereTerms(p, vocab).collect()
+        .map(r => (r.term, r.bucket)).toSet
+      val viaIsin = p.where($"term".isin(vocab: _*)).collect()
+        .map(r => (r.term, r.bucket)).toSet
+      assert(viaJoin == viaIsin)
+      // and a sub-128 subset still routes through isin with equal results
+      val few = vocab.take(20)
+      assert(QueryEngine.whereTerms(p, few).collect().map(_.term).toSet ==
+        p.where($"term".isin(few: _*)).collect().map(_.term).toSet)
+    } finally { p.unpersist(); () }
+  }
+
   test("fused doc→postings pass == tf-row pass; sampled heads (inv=1) == exact heads") {
     import spark.implicits._
     val docs = Stats.readDocuments(spark, "/root/testdata/sf0.01")
