@@ -116,8 +116,13 @@ object IndexBuild {
     * accumulator, all inside ONE task with no intermediate row encoding.
     * The tf-row variant above materializes one Tuple4 + String per
     * (doc, term) pair across the Encoder boundary (~29M objects at bench
-    * scale); this fuses to one boundary object per DOCUMENT. Emits the
-    * identical partial rows (spec: fused == tf-row path, bit-exact). */
+    * scale); this crosses the boundary once per DOCUMENT (raw text) and
+    * tokenizes in-task with [[Tokenize.tokenize]] — the Scala mirror of
+    * the Catalyst tokenizer, spec-pinned bit-equal (EngineSpec "fused ==
+    * tf-row" compares against the Catalyst-tokenized pipeline; the
+    * DuckDB oracle is a third independent check). Avoiding the Catalyst
+    * token array also skips two allocations per TOKEN (UTF8String +
+    * String) — ~10^8 per bench build. */
   def partialPostingsFromDocs(spark: SparkSession, docs: DataFrame,
                               headTerms: Set[String], cfg: Config): Dataset[PostingRow] = {
     import spark.implicits._
@@ -126,14 +131,15 @@ object IndexBuild {
     val width = cfg.bucketWidth
     val p = cfg.numPartitions
     val blockSize = cfg.blockSize
-    docs.select($"doc_id", Tokenize.tokensCol($"text").as("toks"))
-      .as[(Long, Seq[String])]
+    docs.select($"doc_id", $"text")
+      .as[(Long, String)]
       .mapPartitions { it =>
         val heads = headsBc.value
         val acc = scala.collection.mutable.HashMap
           .empty[(String, Int), ArrayBuffer[(Long, Int, Int)]]
         val m = new scala.collection.mutable.HashMap[String, Int]()
-        it.foreach { case (d, toks) =>
+        it.foreach { case (d, text) =>
+          val toks = Tokenize.tokenizeArray(text)
           val dl = toks.length
           m.clear()
           toks.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))

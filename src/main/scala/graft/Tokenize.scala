@@ -21,4 +21,16 @@ object Tokenize {
   /** Driver/executor-side mirror of [[tokensCol]] (identical semantics). */
   def tokenize(text: String): Seq[String] =
     text.toLowerCase.split(SplitRegex).toSeq.filter(_.nonEmpty)
+
+  private val splitPattern = java.util.regex.Pattern.compile(SplitRegex)
+
+  /** Hot-path variant of [[tokenize]] (precompiled pattern, no Seq
+    * wrapper). Parity notes: Catalyst `lower` uses the same
+    * `String.toLowerCase` for non-ASCII and an equivalent ASCII fast
+    * path; Catalyst `split(str, re, -1)` differs from Java's
+    * `split(re)` (limit 0) only in TRAILING empty strings, which the
+    * nonEmpty filter removes on both sides. Bit-equality with
+    * [[tokensCol]] is spec-asserted on the driver corpora. */
+  def tokenizeArray(text: String): Array[String] =
+    splitPattern.split(text.toLowerCase).filter(_.nonEmpty)
 }

@@ -105,6 +105,24 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("Scala tokenizer == Catalyst tokenizer on every driver document") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, "/root/testdata/sf0.01")
+    val viaCatalyst = docs
+      .select($"doc_id", Tokenize.tokensCol($"text").as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaScala = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().map { case (d, t) => d -> Tokenize.tokenizeArray(t).toSeq }.toMap
+    assert(viaScala == viaCatalyst)
+    // plus adversarial edge cases (punctuation runs, leading/trailing
+    // separators, unicode letters, digits, empty)
+    val edge = Seq("", "  ", "a", ".a.", "Héllo, Wörld!", "x1 2y --", "ΣΙΓΜΑΣ",
+      "tab\tsep", "newline\nsep", "ÆØÅ æøå", "naïve café")
+    val viaCol = edge.toDF("text")
+      .select(Tokenize.tokensCol($"text")).as[Seq[String]].collect().toSeq
+    assert(edge.map(t => Tokenize.tokenizeArray(t).toSeq) == viaCol)
+  }
+
   test("whereTerms: broadcast semi-join path (>128 terms) == isin path") {
     import spark.implicits._
     val docs = Stats.readDocuments(spark, "/root/testdata/sf0.01")
