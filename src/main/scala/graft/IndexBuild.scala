@@ -22,7 +22,7 @@ import scala.collection.mutable.ArrayBuffer
   *
   * On-disk layout (Iceberg-style: partitioned parquet + manifest tables,
   * SURVEY.md §7.3 — no Iceberg jar in the sandbox):
-  *   dir/stats/terms   (term, df, cf)
+  *   dir/stats/terms   (term, df, cf, max_bucket)
   *   dir/stats/meta    corpus scalars + frozen build config
   *   dir/segments/part_id=N/   PostingRow parquet (term-sorted in-file)
   *   dir/manifest      (part_id, n_lists, n_postings)  — resume lineage
@@ -57,9 +57,12 @@ object IndexBuild {
       headSampleInv: Int = 1)
 
   /** Meta row persisted with the index: corpus scalars + the build config
-    * (query-time pruning must use the SAME hash geometry). */
+    * (query-time pruning must use the SAME hash geometry). min/max doc_id
+    * bound the index's docId interval — [[Merge.concatMergeIndexes]]
+    * validates interval disjointness driver-side from these before
+    * writing anything. */
   final case class Meta(
-      n_docs: Long, n_tokens: Long, max_doc_id: Long,
+      n_docs: Long, n_tokens: Long, max_doc_id: Long, min_doc_id: Long,
       num_partitions: Int, bucket_width: Long, head_df: Long, block_size: Int,
       doc_partitioned: Boolean)
 
@@ -269,9 +272,11 @@ object IndexBuild {
     // ONE full tokenize pass over the corpus (the fused partials job).
     // Everything else is cheap: a column-pruned count/max scan, a sampled
     // head-term probe, and vocab-sized aggs over the built segments.
-    val docRow = phase("docs-scan")(docs.agg(count(lit(1)), max($"doc_id")).head())
+    val docRow = phase("docs-scan")(
+      docs.agg(count(lit(1)), max($"doc_id"), min($"doc_id")).head())
     val nDocs = docRow.getLong(0)
     val maxDocId = docRow.getLong(1)
+    val minDocId = docRow.getLong(2)
     require(nDocs > 0, "writeIndex needs a non-empty corpus")
     val heads = phase("head-sample")(sampledHeadTerms(spark, docs, cfg))
 
@@ -295,14 +300,19 @@ object IndexBuild {
       }
       // Stats derive from the COMPLETE index (covers resumed partitions
       // too): df = Σ n, cf = Σ tf per term — exact, no block decode, no
-      // second tokenize pass. Fresh builds aggregate the persisted
+      // second tokenize pass. max_bucket records the ACTUAL salting the
+      // build applied (max docId bucket per term): query routing prunes
+      // from it instead of re-deriving head-ness from df, so a sampled
+      // head estimate that disagrees with exact df can never strand
+      // postings in unread buckets. Fresh builds aggregate the persisted
       // postings in memory; resumed builds re-read the segments so the
       // stats always describe everything on disk (S7/S8 analog).
       val statsSrc = if (done.isEmpty) postings.toDF()
                      else spark.read.parquet(segmentsDir(dir))
       phase("stats") {
         statsSrc.groupBy($"term")
-          .agg(sum($"n").as("df"), sum($"cf").as("cf"))
+          .agg(sum($"n").as("df"), sum($"cf").as("cf"),
+            max($"bucket").cast("int").as("max_bucket"))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
       }
       // Manifest rows for the partitions THIS run built, appended LAST
@@ -324,7 +334,7 @@ object IndexBuild {
       val nTokens =
         if (done.isEmpty) gapTokens
         else spark.read.parquet(segmentsDir(dir)).agg(sum($"cf")).head().getLong(0)
-      val meta = Meta(nDocs, nTokens, maxDocId,
+      val meta = Meta(nDocs, nTokens, maxDocId, minDocId,
         cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
         cfg.docPartitioned)
       Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/meta")

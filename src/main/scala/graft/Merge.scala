@@ -85,8 +85,14 @@ object Merge {
 
   /** Fast-path N-way index merge by block concatenation (see
     * [[concatSegments]]). Same manifest/stats/meta contract as
-    * [[mergeIndexes]]; stats still merge via the Catalyst full-outer
-    * join (exact, additive). */
+    * [[mergeIndexes]].
+    *
+    * Interval disjointness is validated DRIVER-SIDE from the input metas
+    * (min/max doc_id) before anything is written — a violation must not
+    * leave a half-written outDir. Commit ordering mirrors writeIndex:
+    * segments + manifest first, stats next, meta LAST — readMeta requires
+    * meta, so a merge that dies mid-write leaves an index that FAILS to
+    * open rather than one that opens and silently misses segments. */
   def concatMergeIndexes(spark: SparkSession, dirs: Seq[String], outDir: String): IndexBuild.Meta = {
     import spark.implicits._
     require(dirs.size >= 2, "merge needs at least two inputs")
@@ -94,18 +100,21 @@ object Merge {
     val cfgs = metas.map(m => (m.num_partitions, m.bucket_width, m.head_df,
       m.block_size, m.doc_partitioned)).distinct
     require(cfgs.size == 1, s"mismatched build configs across inputs: $cfgs")
+    metas.sortBy(_.min_doc_id).sliding(2).foreach {
+      case Seq(a, b) => require(a.max_doc_id < b.min_doc_id,
+        s"input docId intervals overlap: [${a.min_doc_id},${a.max_doc_id}] vs " +
+          s"[${b.min_doc_id},${b.max_doc_id}] — use mergeIndexes for interleaved inputs")
+      case _ => ()
+    }
     val meta = IndexBuild.Meta(
       n_docs = metas.map(_.n_docs).sum,
       n_tokens = metas.map(_.n_tokens).sum,
       max_doc_id = metas.map(_.max_doc_id).max,
+      min_doc_id = metas.map(_.min_doc_id).min,
       num_partitions = metas.head.num_partitions,
       bucket_width = metas.head.bucket_width,
       head_df = metas.head.head_df, block_size = metas.head.block_size,
       doc_partitioned = metas.head.doc_partitioned)
-
-    val ts = mergeTermStats(dirs.map(d => spark.read.parquet(s"$d/stats/terms")))
-    ts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
-    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
 
     val postings = dirs.map(IndexBuild.readSegments(spark, _))
       .reduce(_ unionByName _)
@@ -119,9 +128,23 @@ object Merge {
       postings.groupBy($"part_id")
         .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
         .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
+      // stats from the MERGED postings (same aggregation as writeIndex):
+      // df/cf equal the full-outer-join stats merge by construction, and
+      // max_bucket describes the output layout for query routing.
+      writeStatsFromPostings(postings.toDF(), outDir)
     } finally { postings.unpersist(); () }
+    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
     meta
   }
+
+  /** stats/terms from built postings — identical aggregation to
+    * writeIndex's stats phase (df = Σ n, cf = Σ cf, max_bucket = the
+    * actual salting applied). */
+  private def writeStatsFromPostings(postings: DataFrame, outDir: String): Unit =
+    postings.groupBy(col("term"))
+      .agg(sum(col("n")).as("df"), sum(col("cf")).as("cf"),
+        max(col("bucket")).cast("int").as("max_bucket"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
 
   /** Merge N on-disk indexes into `outDir`. Inputs must have identical
     * build configs and disjoint doc sets. */
@@ -139,25 +162,31 @@ object Merge {
       n_docs = metas.map(_.n_docs).sum,
       n_tokens = metas.map(_.n_tokens).sum,
       max_doc_id = metas.map(_.max_doc_id).max,
+      min_doc_id = metas.map(_.min_doc_id).min,
       num_partitions = cfg.numPartitions, bucket_width = cfg.bucketWidth,
       head_df = cfg.headDf, block_size = cfg.blockSize,
       doc_partitioned = cfg.docPartitioned)
 
+    // merged stats (Catalyst full-outer join) drive the RE-SALT decision:
+    // a term that was rare in every input but is a head term of the union
+    // gets re-bucketed under its exact merged df
     val ts = mergeTermStats(dirs.map(d => spark.read.parquet(s"$d/stats/terms")))
-    ts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
-    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
-
     val tf = dirs.map(decodedPostings(spark, _)).reduce(_ unionByName _)
     val postings = IndexBuild.postingsPipeline(spark, tf,
       IndexBuild.headTerms(spark, ts, cfg), cfg)
       .persist()
     try {
+      // segments + manifest first, stats next, meta LAST (commit point) —
+      // a merge that dies mid-write must not leave an openable index
+      // with missing segments
       postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")
         .parquet(IndexBuild.segmentsDir(outDir))
       postings.groupBy($"part_id")
         .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
         .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
+      writeStatsFromPostings(postings.toDF(), outDir)
     } finally postings.unpersist()
+    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
     meta
   }
 }

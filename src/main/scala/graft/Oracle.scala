@@ -19,17 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Oracle {
 
-  /** (query_id, doc_id, score_micro) for every doc matching ≥1 query term. */
+  /** (query_id, doc_id, score_micro) for every doc matching ≥1 query term.
+    *
+    * Join ORDER matters at scale: the broadcast query-term filter comes
+    * FIRST, so the tf stream is restricted to query terms before anything
+    * else — no full-vocab exchange ever happens. df is then exact for
+    * those terms (the filter keeps every row of a kept term) and rides a
+    * tiny broadcast back onto the filtered stream. */
   def scores(spark: SparkSession, docs: DataFrame,
              queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms): DataFrame = {
     import spark.implicits._
     val cs = Stats.corpus(docs)
     val tf = Stats.tfRows(docs)
-    val ts = Stats.termStats(tf) // (term, df, cf)
+    val qt = queries.flatMap(_._2).distinct.toDF("term")
+    val tfq = tf.join(broadcast(qt), Seq("term")) // restrict FIRST
+    val dfq = tfq.groupBy($"term").agg(count(lit(1)).as("df"))
     val qterms = queries
       .flatMap { case (qid, terms) => terms.map(t => (qid, t)) }
       .toDF("query_id", "term")
-    tf.join(ts.select($"term", $"df"), Seq("term"))
+    tfq.join(broadcast(dfq), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .withColumn("c", Bm25.contribMicroCol(cs.n_docs, cs.avgdl, $"df", $"tf", $"dl"))
       .groupBy($"query_id", $"doc_id")
@@ -39,10 +47,11 @@ object Oracle {
   /** Rank with the frozen total order (score_micro DESC, doc_id ASC) and
     * keep top-k. Window form = the readable oracle; [[TopK]] is the
     * scalable form (both tested rank-identical). */
-  def topk(spark: SparkSession, docs: DataFrame, k: Int = QuerySet.K): DataFrame = {
+  def topk(spark: SparkSession, docs: DataFrame, k: Int = QuerySet.K,
+           queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"score_micro".desc, $"doc_id".asc)
-    scores(spark, docs)
+    scores(spark, docs, queries)
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= k)
       .select($"query_id", $"rank", $"doc_id", $"score_micro")

@@ -156,30 +156,39 @@ object QueryEngine {
   }
 
   /** Candidate (term, bucket) pairs for partition pruning (phase-1
-    * routing; reference analog: the `book` of clusters to load, S12). */
-  def candidatePairs(meta: IndexBuild.Meta, termDf: Map[String, Long],
-                     queries: Seq[(Int, Seq[String])]): Seq[(String, Int)] = {
-    val numBuckets = (meta.max_doc_id / meta.bucket_width).toInt + 1
-    queries.flatMap(_._2).distinct.filter(termDf.contains).flatMap { t =>
-      if (termDf(t) > meta.head_df) (0 until numBuckets).map(b => (t, b))
-      else Seq((t, 0))
+    * routing; reference analog: the `book` of clusters to load, S12).
+    *
+    * Routing derives from `termMaxBucket` — the PERSISTED max docId
+    * bucket per term (stats/terms.max_bucket, aggregated from the built
+    * segments) — NOT from re-deriving head-ness via df > headDf. The two
+    * can disagree: the build's salting decision uses a SAMPLED df
+    * estimate (Config.headSampleInv), so a term can be salted into
+    * buckets > 0 while its exact df is ≤ headDf (or vice versa).
+    * max_bucket reflects what the build actually did, so pruning to
+    * buckets 0..max_bucket is exact for unsalted terms (max_bucket = 0)
+    * and a covering superset for salted ones. */
+  def candidatePairs(termMaxBucket: Map[String, Int],
+                     queries: Seq[(Int, Seq[String])]): Seq[(String, Int)] =
+    queries.flatMap(_._2).distinct.filter(termMaxBucket.contains).flatMap { t =>
+      (0 to termMaxBucket(t)).map(b => (t, b))
     }
-  }
 
   /** Partition set for a batch, or None = scan all partitions. A salted
     * head term's buckets hash across ALL partitions once buckets ≫ P
     * (at 10^12 docs a head term has ~10^8 buckets — enumerating them
-    * driver-side would itself be the bottleneck), so head-term batches
+    * driver-side would itself be the bottleneck), so bucket-heavy batches
     * skip partition pruning and rely on the term predicate's row-group
-    * pushdown; rare-term batches keep exact single-partition pruning. */
+    * pushdown; rare-term batches keep exact single-partition pruning.
+    * The cutoff counts actual pairs (Σ max_bucket+1) without
+    * materializing them. */
   def prunedPartIds(spark: SparkSession, meta: IndexBuild.Meta,
-                    termDf: Map[String, Long],
+                    termMaxBucket: Map[String, Int],
                     queries: Seq[(Int, Seq[String])]): Option[Seq[Int]] = {
-    val numBuckets = meta.max_doc_id / meta.bucket_width + 1
-    val hasHead = queries.flatMap(_._2).distinct
-      .exists(t => termDf.get(t).exists(_ > meta.head_df))
-    if (hasHead && numBuckets > 4L * meta.num_partitions) None
-    else Some(candidatePartIds(spark, meta, candidatePairs(meta, termDf, queries)))
+    val terms = queries.flatMap(_._2).distinct.filter(termMaxBucket.contains)
+    val nPairs = terms.iterator.map(termMaxBucket(_).toLong + 1).sum
+    if (nPairs > 4L * meta.num_partitions) None
+    else Some(candidatePartIds(spark, meta,
+      candidatePairs(termMaxBucket, queries)))
   }
 
   /** part_id for each candidate pair, computed with the SAME Catalyst
@@ -294,17 +303,21 @@ object QueryEngine {
     import spark.implicits._
     val meta = IndexBuild.readMeta(spark, dir)
     val qTerms = queries.flatMap(_._2).distinct
-    // df lookup restricted to query terms — filter pushed to parquet scan.
-    val termDf = spark.read.parquet(s"$dir/stats/terms")
+    // df + salting lookup restricted to query terms — filter pushed to
+    // the parquet scan of the (vocab-sized) stats table.
+    val statsRows = spark.read.parquet(s"$dir/stats/terms")
       .where($"term".isin(qTerms: _*))
-      .select($"term", $"df").as[(String, Long)].collect().toMap
+      .select($"term", $"df", $"max_bucket")
+      .as[(String, Long, Int)].collect()
+    val termDf = statsRows.map(r => (r._1, r._2)).toMap
+    val termMaxBucket = statsRows.map(r => (r._1, r._3)).toMap
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
     val p = plan(cs, termDf, queries, k).copy(bucketWidth = meta.bucket_width)
     if (meta.doc_partitioned)
       runDocPartitioned(spark, IndexBuild.readSegments(spark, dir), p, effort)
     else {
       val segments0 = IndexBuild.readSegments(spark, dir)
-      val segments = prunedPartIds(spark, meta, termDf, queries) match {
+      val segments = prunedPartIds(spark, meta, termMaxBucket, queries) match {
         case Some(partIds) => segments0.where($"part_id".isin(partIds: _*))
         case None          => segments0
       }

@@ -63,7 +63,11 @@ object SparkEntry {
     "q_topk_indexed" -> ((s, dir) => {
       val (postings, ts, cs) = IndexBuild.buildPostings(s, docs(s, dir), testConfig)
       import s.implicits._
-      val termDf = ts.select($"term", $"df").as[(String, Long)].collect().toMap
+      // df lookup restricted to the batch's terms BEFORE collect — the
+      // full vocabulary never reaches the driver (web-scale invariant)
+      val qTerms = QuerySet.queryTerms.flatMap(_._2).distinct
+      val termDf = ts.where($"term".isin(qTerms: _*))
+        .select($"term", $"df").as[(String, Long)].collect().toMap
       QueryEngine.run(s, postings, QueryEngine.plan(cs, termDf))
     }),
     // --- index content audit (decode every posting; A1/S10 inverse) ----

@@ -41,9 +41,13 @@ class DiskIndexSpec extends AnyFunSuite {
     val docs = Stats.readDocuments(spark, sfDir)
     val dir = tmpDir()
     val meta = IndexBuild.writeIndex(spark, docs, dir, SparkEntry.testConfig)
-    // 'dup' is rare (df≈25 < headDf) → exactly one candidate partition
-    val termDf = Map("dup" -> 25L)
-    val pairs = QueryEngine.candidatePairs(meta, termDf, Seq((3, Seq("dup"))))
+    // 'dup' is rare → unsalted (max_bucket 0 in the persisted stats) →
+    // exactly one candidate partition
+    import spark.implicits._
+    val dupMaxBucket = spark.read.parquet(s"$dir/stats/terms")
+      .where($"term" === "dup").select($"max_bucket").as[Int].head()
+    assert(dupMaxBucket == 0)
+    val pairs = QueryEngine.candidatePairs(Map("dup" -> dupMaxBucket), Seq((3, Seq("dup"))))
     assert(pairs == Seq(("dup", 0)))
     val partIds = QueryEngine.candidatePartIds(spark, meta, pairs)
     assert(partIds.length == 1)
@@ -72,6 +76,36 @@ class DiskIndexSpec extends AnyFunSuite {
       Codec.decodeAll(r).foreach(p =>
         assert(p.doc_id / cfg.bucketWidth == r.bucket))
     }
+  }
+
+  test("sampled-head salting: routing follows persisted max_bucket, not df (headSampleInv>1)") {
+    import spark.implicits._
+    // Adversarial corpus for the sample/exact disagreement: term 'trap'
+    // appears only in docs with doc_id % 8 == 0, so EVERY occurrence is
+    // inside the headSampleInv=4 sample (doc_id % 4 == 0). Sampled df
+    // estimate = 8*4 = 32 > headDf=10 → the build SALTS it into docId
+    // buckets; exact df = 8 ≤ headDf → df-based routing would prune to
+    // (trap, 0) only and silently drop the postings in buckets 1..3.
+    val docs = (0L until 64L).map { d =>
+      val words = Seq(s"w$d", "common") ++ (if (d % 8 == 0) Seq("trap") else Nil)
+      (d, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val cfg = IndexBuild.Config(numPartitions = 8, bucketWidth = 16,
+      headDf = 10, headSampleInv = 4)
+    val dir = tmpDir()
+    IndexBuild.writeIndex(spark, docs, dir, cfg)
+    // the scenario is live: trap really was salted beyond bucket 0
+    val trapMaxBucket = spark.read.parquet(s"$dir/stats/terms")
+      .where($"term" === "trap").select($"max_bucket").as[Int].head()
+    assert(trapMaxBucket == 3, "corpus no longer exercises the sampled-salting mismatch")
+    val queries = Seq((1, Seq("trap")), (2, Seq("common", "trap")))
+    val got = QueryEngine.runOnIndex(spark, dir, queries)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val oracle = Oracle.topk(spark, docs, queries = queries)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(got == oracle)
+    // all 8 trap docs surface for q1 (k=10 > 8); df-based pruning returned 2
+    assert(got.count(_._1 == 1) == 8)
   }
 
   test("resume: interrupted build (partial manifest) completes to identical content") {

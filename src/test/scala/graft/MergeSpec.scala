@@ -27,7 +27,8 @@ class MergeSpec extends AnyFunSuite {
     assert(IndexBuild.readMeta(spark, merged) == IndexBuild.readMeta(spark, full))
     // stats identical
     val st = (d: String) => spark.read.parquet(s"$d/stats/terms")
-      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+      .select($"term", $"df", $"cf", $"max_bucket")
+      .as[(String, Long, Long, Int)].collect().toSeq.sortBy(_._1)
     assert(st(merged) == st(full))
     // posting rows identical INCLUDING compressed block bytes
     val rows = (d: String) => IndexBuild.readSegments(spark, d).collect().toSeq
@@ -73,11 +74,20 @@ class MergeSpec extends AnyFunSuite {
     IndexBuild.writeIndex(spark, docs.where($"doc_id" >= mid), hi, SparkEntry.testConfig)
     Merge.concatMergeIndexes(spark, Seq(lo, hi), merged)
 
-    // stats and meta identical to the full build (exact additive merge)
+    // stats and meta identical to the full build (exact additive merge).
+    // max_bucket is a LAYOUT column: concat preserves the inputs' layout
+    // (each half's head terms were below headDf -> unsalted), so it is
+    // compared against the inputs, not the (re-salted) full build.
     assert(IndexBuild.readMeta(spark, merged) == IndexBuild.readMeta(spark, full))
     val st = (d: String) => spark.read.parquet(s"$d/stats/terms")
+      .select($"term", $"df", $"cf")
       .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(st(merged) == st(full))
+    val maxB = (d: String) => spark.read.parquet(s"$d/stats/terms")
+      .select($"term", $"max_bucket").as[(String, Int)].collect().toMap
+    val inB = (maxB(lo).toSeq ++ maxB(hi).toSeq).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).max }
+    assert(maxB(merged) == inB)
     // POSTING-identical (block boundaries may differ — no decode happened)
     val dec = (d: String) => IndexBuild.readSegments(spark, d)
       .flatMap(Codec.decodeAll _).as[Posting]
@@ -100,10 +110,13 @@ class MergeSpec extends AnyFunSuite {
     val e0 = tmpDir(); val e1 = tmpDir(); val bad = tmpDir()
     IndexBuild.writeIndex(spark, docs.where($"doc_id" % 2 === 0), e0, SparkEntry.testConfig)
     IndexBuild.writeIndex(spark, docs.where($"doc_id" % 2 === 1), e1, SparkEntry.testConfig)
-    val ex = intercept[org.apache.spark.SparkException] {
+    // rejected DRIVER-SIDE (meta interval check) before anything is
+    // written: a bad merge must not leave a half-written outDir
+    val ex = intercept[IllegalArgumentException] {
       Merge.concatMergeIndexes(spark, Seq(e0, e1), bad)
     }
-    assert(ex.getMessage != null)
+    assert(ex.getMessage.contains("overlap"))
+    assert(!new java.io.File(s"$bad/stats/meta").exists)
     docs.unpersist()
   }
 }
