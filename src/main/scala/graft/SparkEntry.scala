@@ -130,8 +130,14 @@ object SparkEntry {
     "q_token_count"     -> extra.OracleSqlExtra.tokenCountSql,
     "q_quality"         -> extra.OracleSqlExtra.qualitySql,
     "q_pages_extract"   -> extra.OracleSqlExtra.pagesExtractSql,
-    "q_media_meta"      -> extra.OracleSqlExtra.mediaMetaSql
-    // rows-only (no portable SQL): q_dedup_minhash, q_simhash, q_lang_id,
-    // q_fingerprint, q_media_features — each spec-tested in ExtrasSpec.
+    "q_media_meta"      -> extra.OracleSqlExtra.mediaMetaSql,
+    // sketch mirrors: PortableHash.md5_60 has an exact SQL twin and
+    // DuckDB HUGEINT covers the mod-2^61−1 arithmetic, so even the
+    // MinHash/SimHash/fingerprint paths are hash-checked cross-engine
+    "q_dedup_minhash"   -> extra.OracleSqlExtra.minhashLshSql,
+    "q_simhash"         -> extra.OracleSqlExtra.simhashSql,
+    "q_lang_id"         -> extra.OracleSqlExtra.langIdSql,
+    "q_fingerprint"     -> extra.OracleSqlExtra.fingerprintSql,
+    "q_media_features"  -> extra.OracleSqlExtra.mediaFeaturesSql
   )
 }

@@ -115,6 +115,156 @@ object OracleSqlExtra {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---- portable-hash mirrors -------------------------------------------
+  /** SQL mirror of [[PortableHash.md5_60]]: top 60 bits (15 hex chars) of
+    * md5 as BIGINT — parity is what makes every sketch below
+    * cross-engine checkable. */
+  def md5_60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private val P61 = "2305843009213693951" // 2^61 - 1 (Dedup.MinhashP)
+
+  /** Language-ID mirror, generated from the SAME profile literals as
+    * [[TextMetrics.LangProfiles]]: per-language stopword hit counts →
+    * unique argmax (ties or zero → 'und'). */
+  val langIdSql: String = {
+    val langs = TextMetrics.LangProfiles.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, words) =>
+      val set = words.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> x IN ($set))) AS BIGINT) AS hits_$l"
+    }.mkString(",\n       ")
+    val names = langs.map(_._1)
+    val g = s"greatest(${names.map(l => s"hits_$l").mkString(", ")})"
+    val ties = names.map(l => s"CAST(hits_$l = g AS INT)").mkString(" + ")
+    val pick = names.init.map(l => s"WHEN hits_$l = g THEN '$l'").mkString("\n         ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN]+'),
+       |                     x -> x <> '') AS toks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, lang,
+       |       $hitCols
+       |  FROM t
+       |), m AS (SELECT doc_id, lang, $g AS g, * FROM h)
+       |SELECT doc_id, lang,
+       |  CASE WHEN g = 0 OR ($ties) > 1 THEN 'und'
+       |         $pick
+       |         ELSE '${names.last}' END AS pred_lang
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Rabin-Karp rolling-hash fingerprint mirror of
+    * [[TextMetrics.fingerprint64]]: acc = (acc*31 + md5_60(tok)) mod
+    * 2^61−1, folded left-to-right over the token stream (HUGEINT keeps
+    * the 66-bit intermediate exact). */
+  val fingerprintSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN]+'),
+       |                     x -> x <> '') AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(list_reduce(
+       |         list_prepend(CAST(0 AS HUGEINT),
+       |           list_transform(toks, tk -> CAST(${md5_60Sql("tk")} AS HUGEINT))),
+       |         (acc, x) -> (acc * 31 + x) % $P61) AS BIGINT) AS fingerprint
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** SimHash mirror of [[Dedup.simhash64]]: per (doc, term) the 64-bit
+    * sketch hash is h = (md5_60(t) << 4) XOR md5_60('simhash2:'+t); each
+    * bit accumulates ±tf; sign vector → 64-bit word. Bits are extracted
+    * WITHOUT constructing h (bit b = bit(b−4) of h1 ⊕ bit b of h2) so no
+    * 64-bit overflow is needed; bit 63 re-enters as BIGINT min. */
+  val simhashSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN]+'),
+       |                     x -> x <> '') AS toks
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       |  GROUP BY doc_id, term
+       |), th AS (
+       |  SELECT doc_id, tf,
+       |         ${md5_60Sql("term")} AS h1,
+       |         ${md5_60Sql("'simhash2:' || term")} AS h2
+       |  FROM tf
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (xor(CASE WHEN b >= 4 THEN h1 >> (b - 4) ELSE 0 END,
+       |                       h2 >> b) & 1) = 1
+       |             THEN tf ELSE -tf END) AS acc
+       |  FROM th, generate_series(0, 63) g(b)
+       |  GROUP BY doc_id, b
+       |), sim AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN acc > 0 THEN
+       |      CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+       |           ELSE CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT) END
+       |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, coalesce(sim.simhash, 0) AS simhash
+       |FROM t LEFT JOIN sim ON t.doc_id = sim.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** MinHash+LSH mirror of [[Dedup.minhashLsh]], generated from the SAME
+    * frozen permutation table [[Dedup.perms]]: per-perm min over shingle
+    * hashes (HUGEINT (a·x+b) mod 2^61−1), band on ${Dedup.BandSize}-wide
+    * signature slices, candidate pairs within equal bands, estimate =
+    * fraction of equal signature positions. */
+  val minhashLshSql: String = {
+    val permRows = Dedup.perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n       ")
+    val nBands = Dedup.NumPerms / Dedup.BandSize
+    val w = Dedup.BandSize
+    s"""WITH $shingleCtes,
+       |xs AS (SELECT doc_id, ${md5_60Sql("shingle")} AS x FROM sh),
+       |perms(i, pa, pb) AS (VALUES
+       |       $permRows),
+       |sigrows AS (
+       |  SELECT doc_id, i,
+       |         min(CAST((CAST(pa AS HUGEINT) * x + pb) % $P61 AS BIGINT)) AS m
+       |  FROM xs, perms GROUP BY doc_id, i
+       |),
+       |sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigrows GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, sig[b*$w + 1 : b*$w + $w] AS bandsig
+       |  FROM sigs, generate_series(0, ${nBands - 1}) g(b)
+       |),
+       |cands AS (
+       |  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+       |  FROM bands ba JOIN bands bb
+       |    ON ba.b = bb.b AND ba.bandsig = bb.bandsig AND ba.doc_id < bb.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(floor(CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |         v -> v[1] = v[2])) AS DOUBLE) / ${Dedup.NumPerms} * 1e6 + 0.5) AS BIGINT)
+       |    AS est_jaccard_micro
+       |FROM cands JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Mirror of [[Pages.mediaFeaturesStub]]: the stub's fake features are
+    * a pure function of the html bytes (md5_60 of the page string), so
+    * even the stub is hash-checkable cross-engine. */
+  val mediaFeaturesSql: String =
+    s"""WITH h AS (
+       |  SELECT 'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       |         CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT)
+       |           AS n_bytes,
+       |         ${md5_60Sql("'<html><body>' || text || '</body></html>'")} AS hv
+       |  FROM documents
+       |)
+       |SELECT url, n_bytes,
+       |  CAST(640 + hv % 640 AS INT) AS fake_width,
+       |  CAST(360 + (hv >> 16) % 360 AS INT) AS fake_height,
+       |  hv AS fake_hash
+       |FROM h ORDER BY url""".stripMargin
+
   val pagesExtractSql: String =
     """SELECT 'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
       |       md5(text) AS text_md5
