@@ -62,7 +62,7 @@ object Oracle {
     * treeReduce-style scale path, SURVEY.md §2.6 T2). */
   def topkViaHeap(spark: SparkSession, docs: DataFrame, k: Int = QuerySet.K): DataFrame = {
     import spark.implicits._
-    val agg = new TopK.Agg(k).toColumn
+    val agg = new TopK.Agg[Int](k).toColumn
     scores(spark, docs)
       .select($"query_id".as[Int], struct($"doc_id", $"score_micro").as[TopK.Cand])
       .groupByKey(_._1)

@@ -86,16 +86,26 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => extra.Dedup.simhash(s, docs(s, dir))),
     "q_dedup_embedding" -> ((s, dir) =>
       extra.Dedup.embeddingDup(embeddings(s, dir))),
+    // the scale path: LSH-cell-bucketed candidates, exact cosine within
+    // (the cross-join sibling above is its small-scale recall oracle)
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      extra.Dedup.embeddingDupLsh(s, embeddings(s, dir))),
     // --- similarity search over embeddings -------------------------------
     "q_ann_brute" -> ((s, dir) => extra.Ann.bruteTopk(embeddings(s, dir))),
     // full probe ⇒ provably identical to brute force (oracle-checked);
     // pruned-probe recall is spec-tested like the reference's Recall@10.
     "q_ann_ivf" -> ((s, dir) =>
       extra.Ann.lshTopk(s, embeddings(s, dir), nprobe = 1 << extra.Ann.NumPlanes)),
-    // the literal reference pipeline: Lloyd k-means coarse quantizer +
-    // nprobe routing (full probe here ⇒ == brute force, oracle-checked)
-    "q_ann_kmeans_ivf" -> ((s, dir) =>
-      extra.Ann.kmeansIvfTopk(s, embeddings(s, dir), nprobe = extra.Ann.KmKc)),
+    // the literal reference lifecycle: train ONCE at build time, persist
+    // codebook + cell-partitioned vectors, query LOADS the index and
+    // trains nothing (full probe here ⇒ == brute force, oracle-checked)
+    "q_ann_kmeans_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val idxDir = s"/root/repo/target/ann-idx-${new java.io.File(dir).getName}"
+      extra.AnnIndex.write(s, e, idxDir)
+      extra.AnnIndex.topk(s, idxDir,
+        e.where(col("vec_id") < extra.Ann.NumQueryVecs), nprobe = extra.Ann.KmKc)
+    }),
     // --- text analysis ----------------------------------------------------
     "q_token_count" -> ((s, dir) => extra.TextMetrics.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => extra.TextMetrics.quality(docs(s, dir))),
@@ -124,6 +134,7 @@ object SparkEntry {
     "q_dedup_exact"     -> extra.OracleSqlExtra.dedupExactSql,
     "q_dedup_ngram"     -> extra.OracleSqlExtra.ngramJaccardSql(),
     "q_dedup_embedding" -> extra.OracleSqlExtra.embeddingDupSql(),
+    "q_dedup_embedding_lsh" -> extra.OracleSqlExtra.embeddingDupLshSql(),
     "q_ann_brute"       -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_ivf"         -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_kmeans_ivf"  -> extra.OracleSqlExtra.annBruteSql(),

@@ -47,12 +47,23 @@ object TopK {
     }
   }
 
-  final class Agg(k: Int) extends Aggregator[(Int, Cand), Seq[Cand], Seq[Cand]] {
+  final class Agg[K](k: Int) extends Aggregator[(K, Cand), Seq[Cand], Seq[Cand]] {
     def zero: Seq[Cand] = Vector.empty
-    def reduce(buf: Seq[Cand], in: (Int, Cand)): Seq[Cand] = insert(buf, in._2, k)
+    def reduce(buf: Seq[Cand], in: (K, Cand)): Seq[Cand] = insert(buf, in._2, k)
     def merge(a: Seq[Cand], b: Seq[Cand]): Seq[Cand] = mergeTopK(a, b, k)
     def finish(r: Seq[Cand]): Seq[Cand] = r
     def bufferEncoder: Encoder[Seq[Cand]] = ExpressionEncoder[Seq[Cand]]()
     def outputEncoder: Encoder[Seq[Cand]] = ExpressionEncoder[Seq[Cand]]()
   }
+
+  /** Order-preserving bijection Double ↔ Long (the classic IEEE-754 sign
+    * trick): signed-long comparison of the encoding == double comparison,
+    * so a DOUBLE-scored candidate set can ride the integer-keyed [[Cand]]
+    * heap with zero loss — encode before, decode after. */
+  @inline def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+  @inline def fromSortableBits(l: Long): Double =
+    java.lang.Double.longBitsToDouble(l ^ ((l >> 63) & Long.MaxValue))
 }

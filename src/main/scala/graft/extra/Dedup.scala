@@ -163,11 +163,36 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs (cross-join; small-scale oracle for
-    * an ANN-bucketed variant at scale). threshold on exact cosine. */
+  /** Embedding-cosine near-dup pairs (cross-join; the SMALL-SCALE ORACLE
+    * for [[embeddingDupLsh]] — the same oracle/scale-path pairing as
+    * [[ngramJaccard]]/[[minhashLsh]]). threshold on exact cosine. */
   def embeddingDup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
     val cosC = Ann.cosCol(col("a.embedding"), col("b.embedding"))
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cosC.as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_micro"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** LSH-bucketed embedding near-dup — the SCALE path (reference analog:
+    * per-cell candidate generation, `src/index_ivf.cpp:85-106`): vectors
+    * bucket by their sign-random-projection cell ([[Ann.signature]]),
+    * candidate pairs form only WITHIN a cell (an equi-join Catalyst plans
+    * as a shuffled hash join on cell — work is Σ cell² instead of N², and
+    * cell sizes are bounded by true near-dup cluster sizes), exact cosine
+    * + threshold inside. Near-dup vectors point the same way, so they
+    * land in the same half-space cell w.h.p.; the cross-join sibling
+    * above is the recall oracle (spec-checked at the threshold). */
+  def embeddingDupLsh(spark: SparkSession, emb: DataFrame,
+                      threshold: Double = 0.4): DataFrame = {
+    val sigUdf = udf((v: Seq[Float]) => Ann.signature(v))
+    val cells = emb.select(col("vec_id"), col("embedding"),
+      sigUdf(col("embedding")).as("cell"))
+    val cosC = Ann.cosCol(col("a.embedding"), col("b.embedding"))
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cosC.as("cos"))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"),

@@ -79,6 +79,39 @@ object OracleSqlExtra {
        |SELECT vec_a, vec_b, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS cos_micro
        |FROM p WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Mirror of [[Dedup.embeddingDupLsh]]: the sign-random-projection
+    * cells are reproducible in SQL because the hyperplanes are FROZEN
+    * data ([[Ann.planes]], seeded) — they embed as literals, the dot
+    * folds left-to-right like [[cosExpr]], and candidate pairs form only
+    * within equal cells. */
+  def embeddingDupLshSql(threshold: Double = 0.4): String = {
+    val planeRows = Ann.planes.zipWithIndex.map { case (pl, p) =>
+      s"($p, [${pl.mkString(", ")}])"
+    }.mkString(",\n       ")
+    s"""WITH planes(p, pv) AS (VALUES
+       |       $planeRows),
+       |dots AS (
+       |  SELECT e.vec_id, pl.p,
+       |         list_reduce(list_transform(list_zip(e.embedding, pl.pv),
+       |             x -> CAST(x[1] AS DOUBLE) * x[2]), (a, b) -> a + b) AS dot
+       |  FROM embeddings e, planes pl
+       |),
+       |sigs AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS cell
+       |  FROM dots GROUP BY vec_id
+       |),
+       |ec AS (SELECT e.vec_id, e.embedding, s.cell
+       |       FROM embeddings e JOIN sigs s USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${cosExpr("a.embedding", "b.embedding")} AS cos
+       |  FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS cos_micro
+       |FROM pairs WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val tokenCountSql: String =
     s"""SELECT doc_id,
        |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws,

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.extra._
+import java.nio.file.Files
+
+/** Persisted ANN index lifecycle (reference WriteIndex → LoadIndex →
+  * selective cell query) + the bucketed embedding near-dup scale path. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "ann").toString
+
+  test("lifecycle: write once, load, full-probe query == brute force; codebook round-trips") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val meta = AnnIndex.write(spark, emb, dir)
+    assert(meta.n_vecs == emb.count() && meta.kc == Ann.KmKc)
+    // the persisted codebook IS the fit (deterministic fit ⇒ bit-equal)
+    val loaded = AnnIndex.loadCentroids(spark, dir).map(_.toSeq).toSeq
+    assert(loaded == Ann.kmeansFit(emb).map(_.toSeq).toSeq)
+    // query the LOADED index — trains nothing, full probe == exact scan
+    val queries = emb.where($"vec_id" < Ann.NumQueryVecs)
+    val got = AnnIndex.topk(spark, dir, queries, nprobe = Ann.KmKc)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val brute = Ann.bruteTopk(emb).as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == brute)
+  }
+
+  test("pruned query reads ONLY probed cell partitions (partition pruning) with sane recall") {
+    import spark.implicits._
+    val dir = tmpDir()
+    AnnIndex.write(spark, emb, dir)
+    // plan evidence: a probed read carries a PartitionFilters entry on cell
+    val probed = AnnIndex.readCells(spark, dir).where($"cell".isin(0, 1, 2))
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"),
+      s"cell partition filter missing:\n$planStr")
+    // recall at nprobe=4 of 16 (reference Recall@k harness shape)
+    val queries = emb.where($"vec_id" < Ann.NumQueryVecs)
+    val brute = Ann.bruteTopk(emb).as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val pruned = AnnIndex.topk(spark, dir, queries, nprobe = 4)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (brute(q) intersect pruned.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }.sum / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // resumable lifecycle: a second write converges to identical content
+    val dir2 = tmpDir()
+    AnnIndex.write(spark, emb, dir2)
+    assert(AnnIndex.loadCentroids(spark, dir).map(_.toSeq).toSeq ==
+      AnnIndex.loadCentroids(spark, dir2).map(_.toSeq).toSeq)
+  }
+
+  test("embedding near-dup LSH: sound vs cross join; full recall on planted near-dups") {
+    import spark.implicits._
+    // soundness at the contract threshold: bucketed pairs are a SUBSET of
+    // the exact cross join's (same exact cosine + threshold inside)
+    val cross = Dedup.embeddingDup(emb).as[(Long, Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingDupLsh(spark, emb).as[(Long, Long, Long)].collect().toSet
+    assert(lsh.subsetOf(cross))
+    // recall guarantee regime: TRUE near-dups (cos → 1) share a sign-cell
+    // w.h.p. Plant a perturbed copy of every 10th vector; the LSH path
+    // must find every planted pair the cross join finds at 0.95.
+    val planted = emb.select($"vec_id", $"embedding").union(
+      emb.where($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 100000L).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            (x.cast("double") + lit(1e-4) * (i.cast("double") % 3.0 - 1.0)).cast("float"))
+            .as("embedding")))
+    val crossHi = Dedup.embeddingDup(planted, threshold = 0.95)
+      .as[(Long, Long, Long)].collect().toSet
+    val lshHi = Dedup.embeddingDupLsh(spark, planted, threshold = 0.95)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(crossHi.nonEmpty, "no planted near-dup pairs — spec lost its teeth")
+    assert(lshHi == crossHi,
+      s"LSH missed ${(crossHi -- lshHi).size} of ${crossHi.size} near-dup pairs")
+  }
+}
