@@ -204,6 +204,59 @@ object QueryEngine {
       .distinct().as[Int].collect().toSeq.sorted
   }
 
+  /** Re-bucket posting rows into docId-range buckets (bucket = doc_id /
+    * width) so the doc-partitioned batched scorer can serve a TERM-
+    * partitioned index. Purpose (round-1 VERDICT): a head-heavy batch on
+    * the term-partitioned layout used to concentrate a head term's FULL
+    * posting set into one per-query group; after re-bucketing, no task
+    * ever materializes more than `width` postings per term.
+    *
+    * Cost is bounded: salted head-term rows are ALREADY range-confined
+    * (pass through, no decode — the common bulk); only rare-term rows
+    * (n ≤ headDf by construction) that straddle a range boundary decode,
+    * split and re-encode. */
+  def rebucketByRange(rows: Dataset[PostingRow], width: Long,
+                      blockSize: Int): Dataset[PostingRow] = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      val lo = (r.min_doc / width).toInt
+      val hi = (r.blocks.last.max_doc / width).toInt
+      if (lo == hi) {
+        if (r.bucket == lo) Iterator.single(r)
+        else Iterator.single(r.copy(bucket = lo))
+      } else {
+        val nAll = r.n.toInt
+        val ds = new Array[Long](nAll)
+        val tfs = new Array[Int](nAll)
+        val dls = new Array[Int](nAll)
+        var o = 0
+        r.blocks.foreach { b =>
+          val (d, t, l) = Codec.decodeBlock(b)
+          System.arraycopy(d, 0, ds, o, d.length)
+          System.arraycopy(t, 0, tfs, o, t.length)
+          System.arraycopy(l, 0, dls, o, l.length)
+          o += d.length
+        }
+        // docIds are sorted: cut contiguous slices at range boundaries
+        val out = Vector.newBuilder[PostingRow]
+        var start = 0
+        while (start < nAll) {
+          val bucket = (ds(start) / width).toInt
+          val limit = (bucket + 1L) * width
+          var end = start
+          var cf = 0L
+          while (end < nAll && ds(end) < limit) { cf += tfs(end); end += 1 }
+          out += PostingRow(r.part_id, r.term, bucket, (end - start).toLong, cf,
+            ds(start),
+            Codec.encodeBlocks(ds.slice(start, end), tfs.slice(start, end),
+              dls.slice(start, end), blockSize))
+          start = end
+        }
+        out.result().iterator
+      }
+    }
+  }
+
   /** Batched query over a DOC-partitioned serving index: each task holds
     * ALL terms of its docId ranges, so it evaluates EVERY query of the
     * batch against its partition once (zero posting duplication — unlike
@@ -317,11 +370,22 @@ object QueryEngine {
       runDocPartitioned(spark, IndexBuild.readSegments(spark, dir), p, effort)
     else {
       val segments0 = IndexBuild.readSegments(spark, dir)
-      val segments = prunedPartIds(spark, meta, termMaxBucket, queries) match {
-        case Some(partIds) => segments0.where($"part_id".isin(partIds: _*))
-        case None          => segments0
+      prunedPartIds(spark, meta, termMaxBucket, queries) match {
+        // few candidate pairs → exact partition pruning + per-query WAND
+        // (the rare-term fast path: reads 1..few partitions)
+        case Some(partIds) =>
+          run(spark, segments0.where($"part_id".isin(partIds: _*)), p, effort)
+        // head-heavy batch: pruning is ineffective AND the per-query
+        // grouping would pull a head term's whole posting set into one
+        // task. Re-bucket the (term-filtered) rows into docId ranges and
+        // serve through the zero-duplication batched TAAT scorer — the
+        // same plan shape the doc-partitioned layout gets natively.
+        case None =>
+          val pruned = whereTerms(segments0, termDf.keys.toSeq)
+          runDocPartitioned(spark,
+            rebucketByRange(pruned, meta.bucket_width, meta.block_size),
+            p, effort)
       }
-      run(spark, segments, p, effort)
     }
   }
 }

@@ -108,6 +108,44 @@ class DiskIndexSpec extends AnyFunSuite {
     assert(got.count(_._1 == 1) == 8)
   }
 
+  test("head-heavy batch on a term-partitioned index: re-bucketed TAAT path, bounded tasks, == oracle") {
+    import spark.implicits._
+    // every doc contains the head term; 'rare' straddles range boundaries
+    val docs = (0L until 1024L).map { d =>
+      val extra = if (d == 3 || d == 500 || d == 900) " rare" else ""
+      (d, s"the w$d$extra")
+    }.toDF("doc_id", "text")
+    val cfg = IndexBuild.Config(numPartitions = 4, bucketWidth = 32, headDf = 50)
+    val dir = tmpDir()
+    val meta = IndexBuild.writeIndex(spark, docs, dir, cfg)
+    val maxBucket = spark.read.parquet(s"$dir/stats/terms")
+      .select($"term", $"max_bucket").as[(String, Int)].collect().toMap
+    // the head query abandons partition pruning (32 buckets > 4*P=16)...
+    val headQ = Seq((1, Seq("the")), (2, Seq("the", "rare")), (3, Seq("rare")))
+    assert(QueryEngine.prunedPartIds(spark, meta, maxBucket, headQ).isEmpty)
+    // ...while a rare-only batch still prunes to ONE partition
+    val rareOnly = QueryEngine.prunedPartIds(spark, meta, maxBucket, Seq((3, Seq("rare"))))
+    assert(rareOnly.exists(_.length == 1))
+    // re-bucketed rows: per-task per-term work is bounded by bucketWidth
+    // and every posting lands inside its row's docId range
+    val rebucketed = QueryEngine.rebucketByRange(
+      IndexBuild.readSegments(spark, dir), cfg.bucketWidth, cfg.blockSize)
+      .collect()
+    rebucketed.foreach { r =>
+      assert(r.n <= cfg.bucketWidth, s"row ${r.term}/${r.bucket} has ${r.n} postings")
+      Codec.decodeAll(r).foreach(pr =>
+        assert(pr.doc_id / cfg.bucketWidth == r.bucket))
+    }
+    // and the served results are rank-identical to the exact oracle —
+    // including q2, whose per-doc score sums a range-confined head term
+    // with a range-straddling rare term
+    val got = QueryEngine.runOnIndex(spark, dir, headQ)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val oracle = Oracle.topk(spark, docs, queries = headQ)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(got == oracle)
+  }
+
   test("resume: interrupted build (partial manifest) completes to identical content") {
     import spark.implicits._
     val docs = Stats.readDocuments(spark, sfDir)
