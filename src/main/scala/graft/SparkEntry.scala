@@ -106,6 +106,11 @@ object SparkEntry {
       extra.AnnIndex.topk(s, idxDir,
         e.where(col("vec_id") < extra.Ann.NumQueryVecs), nprobe = extra.Ann.KmKc)
     }),
+    // PQ/ADC in its lossless verification config (ks = n, zero Lloyd
+    // iterations ⇒ codewords are the subvectors): the full train → encode
+    // → DTable → ADC → rerank pipeline must reproduce the exact-L2 scan.
+    // The lossy ks=16 config is recall-tested in AnnIndexSpec.
+    "q_ann_pq" -> ((s, dir) => extra.Pq.pqTopkLossless(s, embeddings(s, dir))),
     // --- text analysis ----------------------------------------------------
     "q_token_count" -> ((s, dir) => extra.TextMetrics.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => extra.TextMetrics.quality(docs(s, dir))),
@@ -138,6 +143,7 @@ object SparkEntry {
     "q_ann_brute"       -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_ivf"         -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_kmeans_ivf"  -> extra.OracleSqlExtra.annBruteSql(),
+    "q_ann_pq"          -> extra.OracleSqlExtra.annL2Sql(),
     "q_token_count"     -> extra.OracleSqlExtra.tokenCountSql,
     "q_quality"         -> extra.OracleSqlExtra.qualitySql,
     "q_pages_extract"   -> extra.OracleSqlExtra.pagesExtractSql,

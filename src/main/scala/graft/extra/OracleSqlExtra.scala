@@ -70,6 +70,34 @@ object OracleSqlExtra {
        |SELECT query_vec_id, rank, vec_id, cos_micro FROM ranked
        |WHERE rank <= $k ORDER BY query_vec_id, rank""".stripMargin
 
+  /** Sequential-fold L2² between two FLOAT[] expressions (mirror of
+    * [[Pq.l2Col]]). */
+  def l2Expr(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)""".stripMargin
+
+  /** Exact L2 top-k — the oracle for the PQ/ADC pipeline's lossless
+    * verification config (q_ann_pq). */
+  def annL2Sql(k: Int = Ann.K, nq: Int = Ann.NumQueryVecs): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $nq
+       |), pairs AS (
+       |  SELECT q.query_vec_id, e.vec_id,
+       |         ${l2Expr("q.qe", "e.embedding")} AS l2
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_vec_id
+       |), ranked AS (
+       |  SELECT query_vec_id,
+       |         CAST(row_number() OVER (PARTITION BY query_vec_id
+       |                                 ORDER BY l2 ASC, vec_id ASC) AS INT) AS rank,
+       |         vec_id,
+       |         CAST(floor(l2 * 1e6 + 0.5) AS BIGINT) AS l2_micro
+       |  FROM pairs
+       |)
+       |SELECT query_vec_id, rank, vec_id, l2_micro FROM ranked
+       |WHERE rank <= $k ORDER BY query_vec_id, rank""".stripMargin
+
   def embeddingDupSql(threshold: Double = 0.4): String =
     s"""WITH p AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

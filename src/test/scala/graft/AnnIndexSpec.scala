@@ -58,6 +58,42 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.loadCentroids(spark, dir2).map(_.toSeq).toSeq)
   }
 
+  test("PQ/ADC: lossless config == exact L2 scan; lossy ks=16 keeps recall; 32x smaller codes") {
+    import spark.implicits._
+    // exact-L2 ground truth via the same canonical fold as the SQL oracle
+    val q = emb.where($"vec_id" < Ann.NumQueryVecs)
+      .select($"vec_id".as("query_vec_id"), $"embedding".as("qe"))
+    val exact = broadcast(q).join(emb, $"vec_id" =!= $"query_vec_id")
+      .select($"query_vec_id", $"vec_id", Pq.l2Col($"qe", $"embedding").as("l2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_vec_id").orderBy($"l2".asc, $"vec_id".asc)
+    val truth = exact.withColumn("rank", row_number().over(w))
+      .where($"rank" <= Ann.K)
+      .select($"query_vec_id", $"rank".cast("int").as("rank"), $"vec_id",
+        floor($"l2" * 1e6 + 0.5).cast("long").as("l2_micro"))
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // lossless config: full pipeline reproduces the exact scan
+    val lossless = Pq.pqTopkLossless(spark, emb)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(lossless == truth)
+    // lossy production config: deterministic, compressed, sane recall
+    val cb = Pq.trainCodebooks(emb, ks = Pq.Ks, iters = 2)
+    val cb2 = Pq.trainCodebooks(emb, ks = Pq.Ks, iters = 2)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = Pq.encode(emb, cb).as[(Long, Seq[Int])].collect()
+    assert(codes.forall(c => c._2.length == Pq.M && c._2.forall(x => x >= 0 && x < Pq.Ks)),
+      "codes must be M ids in [0, ks) — one byte each vs 64 floats (32x)")
+    val lossy = Pq.pqTopk(spark, emb, cb)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val truthSets = truth.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = truthSets.keys.toSeq.map { qid =>
+      (truthSets(qid) intersect lossy.getOrElse(qid, Set.empty)).size.toDouble /
+        truthSets(qid).size
+    }.sum / truthSets.size
+    assert(recall >= 0.4, s"recall=$recall") // 16-codeword ADC, reranked
+  }
+
   test("embedding near-dup LSH: sound vs cross join; full recall on planted near-dups") {
     import spark.implicits._
     // soundness at the contract threshold: bucketed pairs are a SUBSET of
