@@ -210,9 +210,15 @@ object Bench {
   def spawnPoint(cpus: Int, sfDir: String, scale: Int, nReps: Int): Either[String, Point] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+    // SPARK_GRAFT_PIN_OFFSET shifts the pinned core range (default 0):
+    // the co-tenant-asymmetry probe runs the SAME point at different
+    // offsets to quantify how much a measurement depends on WHICH cores
+    // it owns on this shared host (round-1 open question on the 4→16
+    // scaling gap).
+    val pinOff = sys.env.getOrElse("SPARK_GRAFT_PIN_OFFSET", "0").toInt
     val affinity: Seq[String] =
       if (new java.io.File("/usr/bin/taskset").exists)
-        Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
+        Seq("/usr/bin/taskset", "-c", s"$pinOff-${pinOff + cpus - 1}")
       else Seq.empty
     val cmd: Seq[String] = affinity ++ Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$mem",
@@ -340,7 +346,27 @@ object Bench {
         s"scaling_efficiency_query_${cpusLo}_to_$cpusHi" -> f((lo.secPerQuery / hi.secPerQuery) / ratio))
       case _ => Seq.empty
     }
-    val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ Seq(
+    // PAIRED efficiency: the i-th hi point with the i-th lo point — both
+    // from the same ~alternation window of this shared host. The global
+    // best-of-N ratio above is biased DOWN structurally: the lo point
+    // leaves most host cores free, so it is more likely to catch a quiet
+    // window than the hi point, and a ratio of minima taken in DIFFERENT
+    // windows measures the neighbors, not the engine. Noise only ever
+    // slows a point, so the best paired value is the engine's
+    // demonstrated efficiency under the least-contaminated window.
+    val his = ok.filter(_.cpus == cpusHi).toSeq
+    val los = ok.filter(_.cpus == cpusLo).toSeq
+    val pairedEff: Seq[(Double, Double)] = his.zip(los).map { case (hi, lo) =>
+      (((hi.docsPerSec / lo.docsPerSec) / ratio,
+        (lo.secPerQuery / hi.secPerQuery) / ratio))
+    }
+    val pairedEntries: Seq[(String, Double)] =
+      if (pairedEff.isEmpty) Seq.empty
+      else Seq(
+        s"scaling_efficiency_build_paired_best" -> f(pairedEff.map(_._1).max),
+        s"scaling_efficiency_query_paired_best" -> f(pairedEff.map(_._2).max),
+        "n_pairs" -> pairedEff.size.toDouble)
+    val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ pairedEntries ++ Seq(
       "n_docs_indexed" -> pHiOpt.orElse(pLoOpt).map(_.nDocs.toDouble).getOrElse(0.0),
       "nq" -> (QuerySet.queries.size * nReps).toDouble,
       "child_failures" -> failures.size.toDouble,
