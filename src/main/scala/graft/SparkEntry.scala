@@ -118,6 +118,14 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => extra.TextMetrics.fingerprints(s, docs(s, dir))),
     // --- multimodal pages table (input_hint shape) ------------------------
     "q_pages_extract" -> ((s, dir) => extra.Pages.extractAudit(s, docs(s, dir))),
+    // the composed ingest: pages → binary-html text extraction → dense
+    // url-ranked doc ids (the corpus the index builds from)
+    "q_pages_ingest" -> ((s, dir) => {
+      extra.Pages.toDocuments(extra.Pages.fromDocuments(docs(s, dir)))
+        .select(col("doc_id"), col("url"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     "q_media_meta" -> ((s, dir) => extra.Pages.mediaMeta(docs(s, dir))),
     "q_media_features" -> ((s, dir) => extra.Pages.mediaFeaturesStub(s, docs(s, dir)))
   )
@@ -147,6 +155,7 @@ object SparkEntry {
     "q_token_count"     -> extra.OracleSqlExtra.tokenCountSql,
     "q_quality"         -> extra.OracleSqlExtra.qualitySql,
     "q_pages_extract"   -> extra.OracleSqlExtra.pagesExtractSql,
+    "q_pages_ingest"    -> extra.OracleSqlExtra.pagesIngestSql,
     "q_media_meta"      -> extra.OracleSqlExtra.mediaMetaSql,
     // sketch mirrors: PortableHash.md5_60 has an exact SQL twin and
     // DuckDB HUGEINT covers the mod-2^61−1 arithmetic, so even the

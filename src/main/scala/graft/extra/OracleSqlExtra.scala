@@ -326,6 +326,20 @@ object OracleSqlExtra {
        |  hv AS fake_hash
        |FROM h ORDER BY url""".stripMargin
 
+  /** Mirror of the composed ingest (q_pages_ingest): dense url-ranked doc
+    * ids + md5 of the text DuckDB reads directly from `documents` (the
+    * Spark side extracts it from the html binary — a hash match proves
+    * byte-identical extraction THROUGH the ingest path). */
+  val pagesIngestSql: String =
+    """WITH p AS (
+      |  SELECT 'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+      |         text
+      |  FROM documents
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS doc_id,
+      |       url, md5(text) AS text_md5
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val pagesExtractSql: String =
     """SELECT 'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
       |       md5(text) AS text_md5

@@ -54,6 +54,25 @@ object Pages {
       .orderBy("url")
   }
 
+  /** INGEST the input_hint pages table into the engine's corpus shape:
+    * text EXTRACTED from the html binary (byte-identical per url — the
+    * frozen north-rule invariant, oracle-pinned via [[extractAudit]] and
+    * q_pages_ingest) and dense doc ids assigned by url rank. The rank is
+    * a one-time global sort at ingest (the standard id-assignment job of
+    * any crawl pipeline); dense ids keep docId-range bucketing compact.
+    * End-to-end (pages → ingest → index → query == oracle) is
+    * spec-asserted in PagesIngestSpec. */
+  def toDocuments(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"url")
+    pages.select($"url", $"html").as[(String, Array[Byte])]
+      .map { case (url, html) => (url, extractText(html)) }
+      .toDF("url", "text")
+      .withColumn("doc_id", row_number().over(w).cast("long") - 1)
+      .select($"doc_id", $"url", $"text")
+  }
+
   /** Opaque-binary metadata: byte length + sniffed kind from magic bytes
     * (here everything is html; the sniffer demonstrates the operator). */
   def mediaMeta(docs: DataFrame): DataFrame =
