@@ -86,7 +86,11 @@ object Bench {
       if (baseBytes <= maxBroadcastBytes)
         reps.join(broadcast(docs)).select(cols: _*)
       else
-        docs.join(reps).select(cols: _*).repartition(slices)
+        // over-ceiling fallback: shuffle the BASE once (repartition before
+        // the join), then broadcast the tiny replica table — the output
+        // inherits the docs side's partitioning, so the scaled corpus is
+        // never shuffled
+        docs.repartition(slices).join(broadcast(reps)).select(cols: _*)
     }
 
   /** Query batch: the frozen reference set replicated nReps× with
@@ -105,7 +109,9 @@ object Bench {
     val spark = session(cpus)
     try {
       val base = Stats.readDocuments(spark, sfDir)
-      val baseRow = base.agg(count(lit(1)), sum(length(col("text")))).head()
+      // octet_length: BYTES, not chars — multibyte text must not slip
+      // under the broadcast ceiling
+      val baseRow = base.agg(count(lit(1)), sum(octet_length(col("text")))).head()
       val baseN = baseRow.getLong(0)
       val docs = scaleUp(base, scale, baseN, slices = cpus * 4,
         baseBytes = baseRow.getLong(1))
@@ -301,29 +307,34 @@ object Bench {
     // alternation early once every point has at least one success.
     val outerReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
-    val ok = scala.collection.mutable.ArrayBuffer.empty[Point]
+    // ok entries are tagged with their alternation-rep index so the
+    // paired metric can match the i-th hi with the i-th lo OF THE SAME
+    // WINDOW even when a child fails mid-run (an index-zip over per-cpu
+    // success lists would silently misalign windows after one failure).
+    val ok = scala.collection.mutable.ArrayBuffer.empty[(Int, Point)]
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    def attempt(c: Int): Unit = spawnPoint(c, sfDir, scale, nReps) match {
-      case Right(p) => ok += p
-        System.err.println(f"[bench] cpus=$c ok: build=${p.buildSec}%.1fs query=${p.querySec}%.1fs (t=$elapsed%.0fs)")
+    def attempt(c: Int, rep: Int): Unit = spawnPoint(c, sfDir, scale, nReps) match {
+      case Right(p) => ok += ((rep, p))
+        System.err.println(f"[bench] cpus=$c rep=$rep ok: build=${p.buildSec}%.1fs query=${p.querySec}%.1fs (t=$elapsed%.0fs)")
       case Left(msg) => failures += msg
         System.err.println(s"[bench] FAILED attempt (t=${elapsed.round}s): $msg")
     }
-    def nOk(c: Int): Int = ok.count(_.cpus == c)
+    def nOk(c: Int): Int = ok.count(_._2.cpus == c)
     val planned = Seq.fill(outerReps)(Seq(cpusHi, cpusLo)).flatten
     planned.zipWithIndex.foreach { case (c, i) =>
       val everyPointCovered = nOk(cpusLo) > 0 && nOk(cpusHi) > 0
-      if (i < 2 || !everyPointCovered || elapsed < budgetSec) attempt(c)
+      if (i < 2 || !everyPointCovered || elapsed < budgetSec) attempt(c, i / 2)
       else System.err.println(s"[bench] budget ${budgetSec}s reached; skipping rep for cpus=$c")
     }
     // Per-point salvage retries: a point with zero successes gets up to 2
-    // extra attempts (a missing point voids the efficiency metric).
+    // extra attempts (a missing point voids the efficiency metric). Each
+    // retry gets a fresh rep tag — it is NOT in any planned window.
     Seq(cpusLo, cpusHi).foreach { c =>
       var extra = 0
-      while (nOk(c) == 0 && extra < 2) { attempt(c); extra += 1 }
+      while (nOk(c) == 0 && extra < 2) { attempt(c, outerReps + extra); extra += 1 }
     }
     def best(c: Int): Option[Point] = {
-      val mine = ok.filter(_.cpus == c).toSeq
+      val mine = ok.collect { case (_, p) if p.cpus == c => p }.toSeq
       if (mine.isEmpty) None
       else {
         val b = mine.minBy(_.buildSec); val q = mine.minBy(_.querySec)
@@ -354,11 +365,13 @@ object Bench {
     // windows measures the neighbors, not the engine. Noise only ever
     // slows a point, so the best paired value is the engine's
     // demonstrated efficiency under the least-contaminated window.
-    val his = ok.filter(_.cpus == cpusHi).toSeq
-    val los = ok.filter(_.cpus == cpusLo).toSeq
-    val pairedEff: Seq[(Double, Double)] = his.zip(los).map { case (hi, lo) =>
-      (((hi.docsPerSec / lo.docsPerSec) / ratio,
-        (lo.secPerQuery / hi.secPerQuery) / ratio))
+    val byRep = ok.groupBy(_._1)
+    val pairedEff: Seq[(Double, Double)] = byRep.values.toSeq.flatMap { reps =>
+      for {
+        hi <- reps.collectFirst { case (_, p) if p.cpus == cpusHi => p }
+        lo <- reps.collectFirst { case (_, p) if p.cpus == cpusLo => p }
+      } yield ((hi.docsPerSec / lo.docsPerSec) / ratio,
+        (lo.secPerQuery / hi.secPerQuery) / ratio)
     }
     val pairedEntries: Seq[(String, Double)] =
       if (pairedEff.isEmpty) Seq.empty

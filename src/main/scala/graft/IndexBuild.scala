@@ -211,6 +211,15 @@ object IndexBuild {
                        cfg: Config): Dataset[PostingRow] =
     shuffleMerge(partialPostings(spark, tf, headTerms, cfg), cfg)
 
+  /** The stats/terms aggregation — df = Σ n, cf = Σ cf, max_bucket = the
+    * salting the build actually applied. ONE definition shared by
+    * writeIndex and both merges: query routing's max_bucket contract
+    * must never diverge between built and merged indexes. */
+  def termStatsFromPostings(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term"))
+      .agg(sum(col("n")).as("df"), sum(col("cf")).as("cf"),
+        max(col("bucket")).cast("int").as("max_bucket"))
+
   /** Head-term set for salting decisions (driver-side; Zipf-tiny). */
   def headTerms(spark: SparkSession, termStats: DataFrame, cfg: Config): Set[String] = {
     import spark.implicits._
@@ -310,9 +319,7 @@ object IndexBuild {
       val statsSrc = if (done.isEmpty) postings.toDF()
                      else spark.read.parquet(segmentsDir(dir))
       phase("stats") {
-        statsSrc.groupBy($"term")
-          .agg(sum($"n").as("df"), sum($"cf").as("cf"),
-            max($"bucket").cast("int").as("max_bucket"))
+        termStatsFromPostings(statsSrc)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
       }
       // Manifest rows for the partitions THIS run built, appended LAST
@@ -351,7 +358,15 @@ object IndexBuild {
 
   def readMeta(spark: SparkSession, dir: String): Meta = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/stats/meta").as[Meta].head()
+    try spark.read.parquet(s"$dir/stats/meta").as[Meta].head()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"$dir is not a readable index of the current layout (pre-round-2 " +
+            "dirs lack min_doc_id/max_bucket; a merge killed before its " +
+            "meta-last commit leaves no meta at all) — rebuild with " +
+            "IndexBuild.writeIndex or re-run the merge", e)
+    }
   }
 
   def readSegments(spark: SparkSession, dir: String): Dataset[PostingRow] = {

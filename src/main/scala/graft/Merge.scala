@@ -137,13 +137,10 @@ object Merge {
     meta
   }
 
-  /** stats/terms from built postings — identical aggregation to
-    * writeIndex's stats phase (df = Σ n, cf = Σ cf, max_bucket = the
-    * actual salting applied). */
+  /** stats/terms from built postings — the SAME aggregation writeIndex
+    * uses ([[IndexBuild.termStatsFromPostings]]), by construction. */
   private def writeStatsFromPostings(postings: DataFrame, outDir: String): Unit =
-    postings.groupBy(col("term"))
-      .agg(sum(col("n")).as("df"), sum(col("cf")).as("cf"),
-        max(col("bucket")).cast("int").as("max_bucket"))
+    IndexBuild.termStatsFromPostings(postings)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
 
   /** Merge N on-disk indexes into `outDir`. Inputs must have identical

@@ -268,13 +268,17 @@ object QueryEngine {
     * disjoint union = top-k of per-part top-k's under the frozen total
     * order. */
   def runDocPartitioned(spark: SparkSession, postings: Dataset[PostingRow],
-                        plan: Plan, effort: Option[EffortAccs] = None): DataFrame = {
+                        plan: Plan, effort: Option[EffortAccs] = None,
+                        preFiltered: Boolean = false): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(plan)
     val terms = plan.termToQueries.keys.toSeq
     val width = plan.bucketWidth.toInt
     require(width > 0, "doc-partitioned plan needs bucketWidth from meta")
-    val partials: Dataset[(Int, Seq[TopK.Cand])] = whereTerms(postings, terms)
+    // preFiltered: caller already restricted to the batch's terms (the
+    // head-heavy rebucket path) — don't plan a second semi-join stage
+    val filtered = if (preFiltered) postings else whereTerms(postings, terms)
+    val partials: Dataset[(Int, Seq[TopK.Cand])] = filtered
       // The pruned posting set is compact parquet — a plain scan packs it
       // into very few input splits (maxPartitionBytes), serializing the
       // scoring work. Spread buckets across the cluster; the shuffle moves
@@ -384,7 +388,7 @@ object QueryEngine {
           val pruned = whereTerms(segments0, termDf.keys.toSeq)
           runDocPartitioned(spark,
             rebucketByRange(pruned, meta.bucket_width, meta.block_size),
-            p, effort)
+            p, effort, preFiltered = true)
       }
     }
   }

@@ -62,15 +62,25 @@ object Pages {
     * any crawl pipeline); dense ids keep docId-range bucketing compact.
     * End-to-end (pages → ingest → index → query == oracle) is
     * spec-asserted in PagesIngestSpec. */
-  def toDocuments(pages: DataFrame): DataFrame = {
+  def toDocuments(pages: DataFrame, numPartitions: Int = 0): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"url")
-    pages.select($"url", $"html").as[(String, Array[Byte])]
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // global url order WITHOUT a single-partition window (a partitionless
+    // Window.orderBy funnels every row — text included — through one
+    // task): range-partition + in-partition sort gives the total order in
+    // parallel, then zipWithIndex assigns dense ids from per-partition
+    // counts + offsets (the one justified RDD drop-down: Catalyst has no
+    // parallel dense-id operator).
+    val sorted = pages.select($"url", $"html").as[(String, Array[Byte])]
       .map { case (url, html) => (url, extractText(html)) }
       .toDF("url", "text")
-      .withColumn("doc_id", row_number().over(w).cast("long") - 1)
-      .select($"doc_id", $"url", $"text")
+      .repartitionByRange(p, $"url")
+      .sortWithinPartitions($"url")
+    sorted.rdd.zipWithIndex
+      .map { case (row, i) => (i, row.getString(0), row.getString(1)) }
+      .toDF("doc_id", "url", "text")
   }
 
   /** Opaque-binary metadata: byte length + sniffed kind from magic bytes
