@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Same-JVM A/B harness for build-config variants (NOT part of the
+  * driver contract). The shared host swings 2× between runs, so config
+  * comparisons are only meaningful when variants alternate inside ONE
+  * session/window with best-of-N each — this main does exactly that and
+  * prints one line per variant.
+  *
+  *   AB_CPUS=16 SPARK_GRAFT_SF_DIR=... sbt "runMain graft.BenchAb"
+  */
+object BenchAb {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("AB_CPUS", "16").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "800").toInt
+    val reps = sys.env.getOrElse("AB_REPS", "3").toInt
+    val spark = Bench.session(cpus)
+    val base = Stats.readDocuments(spark, sfDir)
+    val row = base.agg(count(lit(1)), sum(octet_length(col("text")))).head()
+    val baseN = row.getLong(0)
+    val docs = Bench.scaleUp(base, scale, baseN, slices = cpus * 4,
+      baseBytes = row.getLong(1))
+    def cfg(p: Int, slices: Int = 0) = IndexBuild.Config(
+      numPartitions = p, bucketWidth = 4096, headDf = 1000,
+      blockSize = Codec.BlockSize, headSampleInv = 32)
+    val variants: Seq[(String, IndexBuild.Config)] = Seq(
+      "P32" -> cfg(32), "P64" -> cfg(64), "P128" -> cfg(128), "P256" -> cfg(256))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = s"/root/repo/target/ab-index-c$cpus"
+    def timedBuild(c: IndexBuild.Config): Double = {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val t = System.nanoTime()
+      IndexBuild.writeIndex(spark, docs, dir, c)
+      (System.nanoTime() - t) / 1e9
+    }
+    // warmup: tiny build + one full-size build (JIT + page cache)
+    IndexBuild.writeIndex(spark, base, dir + "-warm", variants.head._2)
+    timedBuild(variants.head._2)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; (name, c) <- variants) {
+      val s = timedBuild(c)
+      times(name) = s :: times.getOrElse(name, Nil)
+      System.err.println(f"[ab] $name $s%.2fs")
+    }
+    variants.foreach { case (name, _) =>
+      val ts = times(name)
+      println(f"AB $name best=${ts.min}%.2fs all=${ts.map(t => f"$t%.1f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
