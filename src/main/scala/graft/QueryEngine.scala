@@ -225,6 +225,16 @@ object QueryEngine {
         if (r.bucket == lo) Iterator.single(r)
         else Iterator.single(r.copy(bucket = lo))
       } else {
+        // Only range-STRADDLING rows decode here — i.e. unsalted (bucket
+        // 0) rows, whose n is the term's df. The build salts every term
+        // whose SAMPLED df estimate exceeds headDf, so an unsalted row
+        // with huge n requires the 1/inv sample to have missed a term
+        // thousands of times over its threshold — Chernoff-impossible at
+        // any df large enough to matter. The guard makes the assumption
+        // loud rather than silently truncating.
+        require(r.n <= Int.MaxValue,
+          s"unsalted posting row for '${r.term}' has ${r.n} postings — " +
+            "the build's head sampling missed a head term; rebuild with headSampleInv=1")
         val nAll = r.n.toInt
         val ds = new Array[Long](nAll)
         val tfs = new Array[Int](nAll)
