@@ -38,4 +38,22 @@ class TopKSpec extends AnyFunSuite {
       mergeTopK(ta, tb, k) == sortAll(as ++ bs).take(k)
     })
   }
+
+  test("sortableBits: order-preserving bijection Double <-> Long (property)") {
+    val doubles: Gen[Double] = Gen.oneOf(
+      Gen.choose(-1.0, 1.0),                        // cosine range
+      Gen.choose(-1e12, 1e12),                      // L2 range
+      Gen.oneOf(0.0, -0.0, 1.0, -1.0,
+        Double.MinPositiveValue, -Double.MinPositiveValue,
+        Double.MaxValue, Double.MinValue))
+    check(Prop.forAll(doubles, doubles) { (a, b) =>
+      val (ea, eb) = (sortableBits(a), sortableBits(b))
+      val roundTrip = fromSortableBits(ea) == a && fromSortableBits(eb) == b
+      // -0.0 == 0.0 as doubles but has a distinct encoding; compare() is
+      // the total order the encoding actually mirrors
+      val orderPreserved =
+        java.lang.Long.compare(ea, eb).sign == java.lang.Double.compare(a, b).sign
+      roundTrip && orderPreserved
+    })
+  }
 }
