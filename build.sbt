@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Round-2 postmortem: without this, sbt's logger wraps the forked run's
+// stdout as "[info] ..." — the driver greps for a BARE JSON line from
+// graft.Bench and has never parsed one (BENCH_r01/r02 parsed:null).
+// StdoutOutput makes the forked child inherit this process's stdout.
+// (runMain resolves the project-level and Compile/run scopes; verified
+// empirically — the JSON line now reaches stdout unprefixed.)
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

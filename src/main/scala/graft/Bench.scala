@@ -104,8 +104,13 @@ object Bench {
                          querySec: Double, secPerQuery: Double, nHits: Long,
                          nDocs: Long)
 
+  /** One pinned measurement. `timedReps` = best-of-N for the timed
+    * build/query sections (2 normally; the parent drops it to 1 when the
+    * wall-clock budget is tight — round-2 postmortem: a contended window
+    * made each child ~4 full-size builds and only ONE A-B pair fit the
+    * budget, so the paired estimator had nothing to pick from). */
   def runPoint(cpus: Int, sfDir: String, scale: Int, nReps: Int,
-               cfg: IndexBuild.Config): Point = {
+               cfg: IndexBuild.Config, timedReps: Int = 2): Point = {
     val spark = session(cpus)
     try {
       val base = Stats.readDocuments(spark, sfDir)
@@ -138,7 +143,7 @@ object Bench {
       def timed(body: => Unit): Double = {
         val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
       }
-      val buildSec = (1 to 2).map { _ =>
+      val buildSec = (1 to timedReps).map { _ =>
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         timed(IndexBuild.writeIndex(spark, docs, dir, cfg))
       }.min
@@ -146,7 +151,7 @@ object Bench {
       val batch = queryBatch(nReps)
       QueryEngine.runOnIndex(spark, serveDir, QuerySet.queryTerms).count() // warm reads
       var hits = 0L
-      val querySec = (1 to 2).map { _ =>
+      val querySec = (1 to timedReps).map { _ =>
         timed { hits = QueryEngine.runOnIndex(spark, serveDir, batch).count() }
       }.min
       Point(cpus, buildSec, nDocs / buildSec, querySec,
@@ -213,7 +218,8 @@ object Bench {
     * not void the other 5 points of a 50-minute run. Failures return
     * Left(diagnostic incl. the child's stderr tail) and the caller
     * salvages whatever points succeeded. */
-  def spawnPoint(cpus: Int, sfDir: String, scale: Int, nReps: Int): Either[String, Point] = {
+  def spawnPoint(cpus: Int, sfDir: String, scale: Int, nReps: Int,
+                 timedReps: Int = 2): Either[String, Point] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
     // SPARK_GRAFT_PIN_OFFSET shifts the pinned core range (default 0):
@@ -234,7 +240,8 @@ object Bench {
       "-Dspark.sql.session.timeZone=UTC",
       s"-Dspark.local.dir=$localDir", // repo disk; /tmp gets reaped mid-job
       "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "point", cpus.toString, sfDir, scale.toString, nReps.toString)
+      "graft.Bench", "point", cpus.toString, sfDir, scale.toString,
+      nReps.toString, timedReps.toString)
     val errFile = new java.io.File(s"/root/repo/target/bench-child-c$cpus.err")
     try {
       val pb = new ProcessBuilder(cmd: _*)
@@ -282,8 +289,8 @@ object Bench {
 
     if (args.headOption.contains("point")) {
       // child mode: one pinned measurement, TSV result line on stdout
-      val Array(_, c, sf, sc, nr) = args
-      val p = runPoint(c.toInt, sf, sc.toInt, nr.toInt, cfg)
+      val Array(_, c, sf, sc, nr, tr) = args
+      val p = runPoint(c.toInt, sf, sc.toInt, nr.toInt, cfg, tr.toInt)
       println(s"POINT\t${p.cpus}\t${p.buildSec}\t${p.docsPerSec}\t${p.querySec}\t${p.secPerQuery}\t${p.nHits}\t${p.nDocs}")
       return
     }
@@ -313,31 +320,70 @@ object Bench {
     // success lists would silently misalign windows after one failure).
     val ok = scala.collection.mutable.ArrayBuffer.empty[(Int, Point)]
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    def attempt(c: Int, rep: Int): Unit = spawnPoint(c, sfDir, scale, nReps) match {
-      case Right(p) => ok += ((rep, p))
-        System.err.println(f"[bench] cpus=$c rep=$rep ok: build=${p.buildSec}%.1fs query=${p.querySec}%.1fs (t=$elapsed%.0fs)")
-      case Left(msg) => failures += msg
-        System.err.println(s"[bench] FAILED attempt (t=${elapsed.round}s): $msg")
-    }
+    def attempt(c: Int, rep: Int, sc: Int, tr: Int): Unit =
+      spawnPoint(c, sfDir, sc, nReps, tr) match {
+        case Right(p) => ok += ((rep, p))
+          System.err.println(f"[bench] cpus=$c rep=$rep scale=$sc ok: build=${p.buildSec}%.1fs query=${p.querySec}%.1fs (t=$elapsed%.0fs)")
+        case Left(msg) => failures += msg
+          System.err.println(s"[bench] FAILED attempt (t=${elapsed.round}s): $msg")
+      }
     def nOk(c: Int): Int = ok.count(_._2.cpus == c)
-    val planned = Seq.fill(outerReps)(Seq(cpusHi, cpusLo)).flatten
-    planned.zipWithIndex.foreach { case (c, i) =>
-      val everyPointCovered = nOk(cpusLo) > 0 && nOk(cpusHi) > 0
-      if (i < 2 || !everyPointCovered || elapsed < budgetSec) attempt(c, i / 2)
-      else System.err.println(s"[bench] budget ${budgetSec}s reached; skipping rep for cpus=$c")
+    // ADAPTIVE alternation (round-2 postmortem: a contended window made
+    // each full-size child take 5-50 min and only ONE pair fit the 45-min
+    // budget — the paired estimator needs >=3 same-window pairs). After
+    // each pair, if the remaining pairs don't fit the remaining budget at
+    // the current corpus scale, drop the intra-child best-of-2 to 1
+    // (saves ~25% of a child: one of its ~4 full-size builds) and shrink
+    // the corpus for the REMAINING pairs (child wall time is ~linear in
+    // scale; throughput and the within-pair efficiency ratio are
+    // scale-normalized, and pairing is per-rep so a pair never mixes
+    // scales). Efficiency is a RATIO within a pair — a 1M-doc pair under
+    // contention beats no pair at all.
+    var curScale = scale
+    var curTimed = 2
+    val minScale = math.max(1, scale / 16)
+    var rep = 0
+    while (rep < outerReps && (rep == 0 || nOk(cpusLo) == 0 || nOk(cpusHi) == 0 ||
+      elapsed < budgetSec)) {
+      val repStart = elapsed
+      attempt(cpusHi, rep, curScale, curTimed)
+      attempt(cpusLo, rep, curScale, curTimed)
+      val pairSec = elapsed - repStart
+      val repsLeft = outerReps - rep - 1
+      if (repsLeft > 0) {
+        val remaining = budgetSec - elapsed
+        val nextPairEst = pairSec * (if (curTimed == 2) 0.75 else 1.0)
+        if (nextPairEst * repsLeft > remaining) {
+          curTimed = 1
+          val perPair = remaining / repsLeft
+          val shrink = perPair / nextPairEst
+          if (shrink < 1.0)
+            curScale = math.max(minScale, (curScale * shrink).toInt)
+          System.err.println(f"[bench] budget tight (pair=$pairSec%.0fs, " +
+            f"left=$remaining%.0fs for $repsLeft pairs): scale->$curScale timedReps->$curTimed")
+        }
+      }
+      rep += 1
     }
     // Per-point salvage retries: a point with zero successes gets up to 2
     // extra attempts (a missing point voids the efficiency metric). Each
-    // retry gets a fresh rep tag — it is NOT in any planned window.
-    Seq(cpusLo, cpusHi).foreach { c =>
+    // cpu's retries get DISJOINT rep tags (lo: outerReps+*, hi:
+    // outerReps+100+*) so two retries from different windows can never be
+    // grouped as a "pair" by the per-rep pairing below (ADVICE round 2).
+    Seq((cpusLo, outerReps), (cpusHi, outerReps + 100)).foreach { case (c, tagBase) =>
       var extra = 0
-      while (nOk(c) == 0 && extra < 2) { attempt(c, outerReps + extra); extra += 1 }
+      while (nOk(c) == 0 && extra < 2) {
+        attempt(c, tagBase + extra, math.max(minScale, curScale / 2), 1); extra += 1
+      }
     }
+    // Best per point across reps. Points may differ in corpus scale after
+    // an adaptive shrink, so compare the SCALE-NORMALIZED rates (docs/sec,
+    // sec/query), not raw wall seconds.
     def best(c: Int): Option[Point] = {
       val mine = ok.collect { case (_, p) if p.cpus == c => p }.toSeq
       if (mine.isEmpty) None
       else {
-        val b = mine.minBy(_.buildSec); val q = mine.minBy(_.querySec)
+        val b = mine.maxBy(_.docsPerSec); val q = mine.minBy(_.secPerQuery)
         Some(b.copy(querySec = q.querySec, secPerQuery = q.secPerQuery))
       }
     }
@@ -388,6 +434,14 @@ object Bench {
       s"cpu_probe_sec_$n" -> f(s) // host deliverability evidence for the points chosen
     }).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     failures.foreach(m => System.err.println(s"[bench] child failure detail: $m"))
-    println(s"""{"metric":"index-build docs/sec + BM25 top-10 latency, local[$cpusLo] vs local[$cpusHi] pinned JVMs","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val jsonLine =
+      s"""{"metric":"index-build docs/sec + BM25 top-10 latency, local[$cpusLo] vs local[$cpusHi] pinned JVMs","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt-and-braces vs the round-1/2 artifact failures (sbt's logger
+    // prefixing stdout): the same line also lands in a repo file
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    println(jsonLine)
   }
 }
