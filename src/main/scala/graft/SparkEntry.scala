@@ -111,6 +111,14 @@ object SparkEntry {
     // → DTable → ADC → rerank pipeline must reproduce the exact-L2 scan.
     // The lossy ks=16 config is recall-tested in AnnIndexSpec.
     "q_ann_pq" -> ((s, dir) => extra.Pq.pqTopkLossless(s, embeddings(s, dir))),
+    // the COMPOSED flagship: persisted IVF∘PQ (cell-partitioned PQ codes +
+    // persisted codebooks; query loads models, reads probed cells only,
+    // ADC + exact rerank). Lossless config + full probe ⇒ == exact-L2
+    // scan (oracle-checked); the lossy pruned config is recall-spec'd.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val idxDir = s"/root/repo/target/ivfpq-idx-${new java.io.File(dir).getName}"
+      extra.AnnIndexPq.ivfPqTopkLossless(s, embeddings(s, dir), idxDir)
+    }),
     // --- text analysis ----------------------------------------------------
     "q_token_count" -> ((s, dir) => extra.TextMetrics.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => extra.TextMetrics.quality(docs(s, dir))),
@@ -152,6 +160,7 @@ object SparkEntry {
     "q_ann_ivf"         -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_kmeans_ivf"  -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_pq"          -> extra.OracleSqlExtra.annL2Sql(),
+    "q_ann_ivfpq"       -> extra.OracleSqlExtra.annL2Sql(),
     "q_token_count"     -> extra.OracleSqlExtra.tokenCountSql,
     "q_quality"         -> extra.OracleSqlExtra.qualitySql,
     "q_pages_extract"   -> extra.OracleSqlExtra.pagesExtractSql,

@@ -19,15 +19,26 @@ object AnnIndex {
 
   final case class Meta(n_vecs: Long, dim: Int, kc: Int, iters: Int)
 
-  /** Build: one k-means fit (the only training, ever) + one assignment
-    * pass writing cell-partitioned parquet. Scale shape: the fit is the
-    * reference's sampled-train analog; the assignment pass is linear,
-    * embarrassingly parallel, and the write shuffles nothing (each task
-    * appends to its cells' directories). */
+  /** Deterministic training sample: every `inv`-th vector by id — the
+    * reference clamps training to nsamples rows (`src/index_ivf.cpp:43-45`,
+    * seeded shuffle `:50-62`); at 10^12 vectors a full-table Lloyd fit
+    * would spend `2·iters` corpus scans on a LAYOUT-ONLY model. Layout-
+    * only means results are unaffected: full probe scores every cell
+    * regardless of where the centroids landed, and pruned-probe recall is
+    * a quality (spec-tested) property, not a correctness one. */
+  def trainSample(emb: DataFrame, inv: Int): DataFrame =
+    if (inv <= 1) emb else emb.where(pmod(col("vec_id"), lit(inv)) === 0)
+
+  /** Build: one k-means fit over a deterministic sample (the only
+    * training, ever) + one assignment pass writing cell-partitioned
+    * parquet. Scale shape: the fit scans `1/trainSampleInv` of the table
+    * per Lloyd iteration; the assignment pass is linear, embarrassingly
+    * parallel, and the write shuffles nothing (each task appends to its
+    * cells' directories). */
   def write(spark: SparkSession, emb: DataFrame, dir: String,
-            kc: Int = Ann.KmKc, iters: Int = 8): Meta = {
+            kc: Int = Ann.KmKc, iters: Int = 8, trainSampleInv: Int = 4): Meta = {
     import spark.implicits._
-    val centroids = Ann.kmeansFit(emb, kc, iters)
+    val centroids = Ann.kmeansFit(trainSample(emb, trainSampleInv), kc, iters)
     val assignUdf = udf((v: Seq[Float]) => Ann.argminL2(v, centroids))
     emb.select($"vec_id", $"embedding", assignUdf($"embedding").as("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")

@@ -81,7 +81,13 @@ object Pq {
     * (map-side partial aggregation — no per-candidate shuffle); only the
     * nq·k winners join back to raw embeddings for the exact rerank.
     * Output (query_vec_id, rank, vec_id, l2_micro) under (L2 ASC, vec_id
-    * ASC). */
+    * ASC).
+    *
+    * This flat variant scans EVERY code row per query — the in-memory
+    * oracle shape. The scale path is [[AnnIndexPq]]: the same ADC against
+    * cell-partitioned PERSISTED codes where each query touches only its
+    * probed cells, which bounds both the scanned rows and the per-row
+    * `nq` loop (only queries probing that cell score it). */
   def pqTopk(spark: SparkSession, emb: DataFrame,
              codebooks: Array[Array[Array[Double]]],
              k: Int = Ann.K, nq: Int = Ann.NumQueryVecs,
@@ -111,11 +117,22 @@ object Pq {
       .agg(agg.name("hits"))
       .flatMap { case (qid, hits) => hits.map(c => (qid, c.doc_id)) }
       .toDF("query_vec_id", "vec_id")
-    // exact rerank of the nq·k survivors (canonical fold order)
     val q = emb.where($"vec_id" < nq)
       .select($"vec_id".as("query_vec_id"), $"embedding".as("qe"))
-    val rer = cands.join(broadcast(q), Seq("query_vec_id"))
-      .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+    rerankExact(cands, emb, q, k)
+  }
+
+  /** Exact-L2 rerank of an ADC candidate pool: join the O(nq·k·rf)
+    * survivors back to raw vectors, score with the canonical fold
+    * ([[l2Col]] — the DuckDB-parity order), keep top-k per query. Both
+    * joins BROADCAST the tiny candidate/query side, so the corpus is one
+    * column-pruned hash-probe scan — never shuffled — and the window runs
+    * over the tiny candidate set, not the corpus. */
+  def rerankExact(cands: DataFrame, emb: DataFrame, q: DataFrame,
+                  k: Int): DataFrame = {
+    import cands.sparkSession.implicits._
+    val rer = emb.select($"vec_id", $"embedding")
+      .join(broadcast(cands.join(broadcast(q), Seq("query_vec_id"))), Seq("vec_id"))
       .select($"query_vec_id", $"vec_id", l2Col($"qe", $"embedding").as("l2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_vec_id").orderBy($"l2".asc, $"vec_id".asc)
@@ -127,11 +144,24 @@ object Pq {
   }
 
   /** The lossless verification pipeline (ks = n, zero Lloyd iterations):
-    * codewords ARE the subvectors, ADC is exact, result must equal the
-    * exact-L2 scan. */
+    * codewords ARE the subvectors, so ADC lookups sum the same per-
+    * subspace L2² partials the exact distance would.
+    *
+    * What carries the == exact-L2 guarantee (ADVICE round 2): NOT bitwise
+    * ADC == l2Col equality — ADC sums M per-subspace partials while
+    * [[l2Col]] folds all 64 dims sequentially, a different FP association
+    * that can differ by ulps. The guarantee is (a) the k·rerankFactor
+    * pool absorbs any ulp-order boundary ties before (b) the exact rerank
+    * rescores with the canonical fold. Hence rerankFactor ≥ 2 is REQUIRED
+    * here: with a bare k-pool a near-tie on the pool boundary could drop
+    * a true top-k member before the rerank can restore order. */
   def pqTopkLossless(spark: SparkSession, emb: DataFrame,
-                     k: Int = Ann.K, nq: Int = Ann.NumQueryVecs): DataFrame = {
+                     k: Int = Ann.K, nq: Int = Ann.NumQueryVecs,
+                     rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 2,
+      "lossless contract needs pool slack: ulp-order ADC ties on the pool " +
+        "boundary are absorbed by k*rerankFactor and fixed by the exact rerank")
     val n = emb.count().toInt
-    pqTopk(spark, emb, trainCodebooks(emb, ks = n, iters = 0), k, nq)
+    pqTopk(spark, emb, trainCodebooks(emb, ks = n, iters = 0), k, nq, rerankFactor)
   }
 }

@@ -20,9 +20,10 @@ class AnnIndexSpec extends AnyFunSuite {
     val dir = tmpDir()
     val meta = AnnIndex.write(spark, emb, dir)
     assert(meta.n_vecs == emb.count() && meta.kc == Ann.KmKc)
-    // the persisted codebook IS the fit (deterministic fit ⇒ bit-equal)
+    // the persisted codebook IS the fit (deterministic fit ⇒ bit-equal);
+    // training uses the deterministic sample (reference nsamples clamp)
     val loaded = AnnIndex.loadCentroids(spark, dir).map(_.toSeq).toSeq
-    assert(loaded == Ann.kmeansFit(emb).map(_.toSeq).toSeq)
+    assert(loaded == Ann.kmeansFit(AnnIndex.trainSample(emb, 4)).map(_.toSeq).toSeq)
     // query the LOADED index — trains nothing, full probe == exact scan
     val queries = emb.where($"vec_id" < Ann.NumQueryVecs)
     val got = AnnIndex.topk(spark, dir, queries, nprobe = Ann.KmKc)
