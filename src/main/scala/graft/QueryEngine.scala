@@ -225,44 +225,51 @@ object QueryEngine {
         if (r.bucket == lo) Iterator.single(r)
         else Iterator.single(r.copy(bucket = lo))
       } else {
-        // Only range-STRADDLING rows decode here — i.e. unsalted (bucket
-        // 0) rows, whose n is the term's df. The build salts every term
-        // whose SAMPLED df estimate exceeds headDf, so an unsalted row
-        // with huge n requires the 1/inv sample to have missed a term
-        // thousands of times over its threshold — Chernoff-impossible at
-        // any df large enough to matter. The guard makes the assumption
-        // loud rather than silently truncating.
-        require(r.n <= Int.MaxValue,
-          s"unsalted posting row for '${r.term}' has ${r.n} postings — " +
-            "the build's head sampling missed a head term; rebuild with headSampleInv=1")
-        val nAll = r.n.toInt
-        val ds = new Array[Long](nAll)
-        val tfs = new Array[Int](nAll)
-        val dls = new Array[Int](nAll)
-        var o = 0
-        r.blocks.foreach { b =>
-          val (d, t, l) = Codec.decodeBlock(b)
-          System.arraycopy(d, 0, ds, o, d.length)
-          System.arraycopy(t, 0, tfs, o, t.length)
-          System.arraycopy(l, 0, dls, o, l.length)
-          o += d.length
+        // Only range-STRADDLING rows decode here — normally unsalted
+        // (bucket 0) rows, whose n is the term's df. The build's salting
+        // decision is a SAMPLED df estimate, and term placement can
+        // correlate with doc_id (ADVICE round 2: a term living only in
+        // docs outside the 1/headSampleInv sample reads df=0 and stays
+        // unsalted at ANY true df) — so this path must not assume n is
+        // small. It streams: decode ONE block at a time (blocks are
+        // docId-sorted) and emit each completed docId-range slice as soon
+        // as the stream crosses its boundary. Peak memory is
+        // O(blockSize + postings of one range) — bounded by max(blockSize,
+        // width) — instead of three O(n) arrays, and the output rows are
+        // consumed lazily by the shuffle writer (flatMap iterator).
+        val blockIt = r.blocks.iterator
+        val pendD = new scala.collection.mutable.ArrayBuffer[Long]
+        val pendT = new scala.collection.mutable.ArrayBuffer[Int]
+        val pendL = new scala.collection.mutable.ArrayBuffer[Int]
+        var curBucket = -1L
+        def flushPending(): PostingRow = {
+          val ds = pendD.toArray; val tfs = pendT.toArray; val dls = pendL.toArray
+          pendD.clear(); pendT.clear(); pendL.clear()
+          var cf = 0L; var i = 0
+          while (i < tfs.length) { cf += tfs(i); i += 1 }
+          PostingRow(r.part_id, r.term, (ds(0) / width).toInt, ds.length.toLong,
+            cf, ds(0), Codec.encodeBlocks(ds, tfs, dls, blockSize))
         }
-        // docIds are sorted: cut contiguous slices at range boundaries
-        val out = Vector.newBuilder[PostingRow]
-        var start = 0
-        while (start < nAll) {
-          val bucket = (ds(start) / width).toInt
-          val limit = (bucket + 1L) * width
-          var end = start
-          var cf = 0L
-          while (end < nAll && ds(end) < limit) { cf += tfs(end); end += 1 }
-          out += PostingRow(r.part_id, r.term, bucket, (end - start).toLong, cf,
-            ds(start),
-            Codec.encodeBlocks(ds.slice(start, end), tfs.slice(start, end),
-              dls.slice(start, end), blockSize))
-          start = end
+        new Iterator[PostingRow] {
+          private val queue = scala.collection.mutable.Queue.empty[PostingRow]
+          private def fill(): Unit = {
+            while (queue.isEmpty && blockIt.hasNext) {
+              val (d, t, l) = Codec.decodeBlock(blockIt.next())
+              var i = 0
+              while (i < d.length) {
+                val b = d(i) / width
+                if (pendD.nonEmpty && b != curBucket) queue += flushPending()
+                curBucket = b
+                pendD += d(i); pendT += t(i); pendL += l(i)
+                i += 1
+              }
+            }
+            if (queue.isEmpty && !blockIt.hasNext && pendD.nonEmpty)
+              queue += flushPending()
+          }
+          override def hasNext: Boolean = { fill(); queue.nonEmpty }
+          override def next(): PostingRow = { fill(); queue.dequeue() }
         }
-        out.result().iterator
       }
     }
   }

@@ -107,15 +107,16 @@ object OracleSqlExtra {
        |SELECT vec_a, vec_b, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS cos_micro
        |FROM p WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Mirror of [[Dedup.embeddingDupLsh]]: the sign-random-projection
-    * cells are reproducible in SQL because the hyperplanes are FROZEN
-    * data ([[Ann.planes]], seeded) — they embed as literals, the dot
-    * folds left-to-right like [[cosExpr]], and candidate pairs form only
-    * within equal cells. */
+  /** Mirror of [[Dedup.embeddingDupLsh]] (banded SRP): the hyperplanes
+    * are FROZEN data ([[Dedup.dupPlanes]], seeded) — they embed as
+    * literals with band = p / r and bit = p % r, the dot folds
+    * left-to-right like [[cosExpr]], candidate pairs form only within an
+    * equal (band, signature) bucket, survivors verify on exact cosine. */
   def embeddingDupLshSql(threshold: Double = 0.4): String = {
-    val planeRows = Ann.planes.zipWithIndex.map { case (pl, p) =>
+    val planeRows = Dedup.dupPlanes.zipWithIndex.map { case (pl, p) =>
       s"($p, [${pl.mkString(", ")}])"
     }.mkString(",\n       ")
+    val r = Dedup.DupBandSize
     s"""WITH planes(p, pv) AS (VALUES
        |       $planeRows),
        |dots AS (
@@ -125,16 +126,22 @@ object OracleSqlExtra {
        |  FROM embeddings e, planes pl
        |),
        |sigs AS (
-       |  SELECT vec_id,
-       |         CAST(SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS cell
-       |  FROM dots GROUP BY vec_id
+       |  SELECT vec_id, CAST(p // $r AS INT) AS band,
+       |         CAST(SUM(CASE WHEN dot >= 0 THEN (1 << (p % $r)) ELSE 0 END) AS INT)
+       |           AS bandsig
+       |  FROM dots GROUP BY vec_id, p // $r
        |),
-       |ec AS (SELECT e.vec_id, e.embedding, s.cell
-       |       FROM embeddings e JOIN sigs s USING (vec_id)),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.vec_id < b.vec_id
+       |),
        |pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         ${cosExpr("a.embedding", "b.embedding")} AS cos
-       |  FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  SELECT vec_a, vec_b,
+       |         ${cosExpr("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cands
+       |  JOIN embeddings ea ON vec_a = ea.vec_id
+       |  JOIN embeddings eb ON vec_b = eb.vec_id
        |)
        |SELECT vec_a, vec_b, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS cos_micro
        |FROM pairs WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin

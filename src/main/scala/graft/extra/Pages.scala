@@ -73,13 +73,21 @@ object Pages {
     // parallel, then zipWithIndex assigns dense ids from per-partition
     // counts + offsets (the one justified RDD drop-down: Catalyst has no
     // parallel dense-id operator).
-    val sorted = pages.select($"url", $"html").as[(String, Array[Byte])]
-      .map { case (url, html) => (url, extractText(html)) }
-      .toDF("url", "text")
+    //
+    // extractText runs ONLY in the final pass, AFTER the shuffle and
+    // after zipWithIndex's per-partition count job (ADVICE round 2: with
+    // the extraction inside a typed map BEFORE repartitionByRange it
+    // executed for the range-sampling job and the count job too — ~3× the
+    // dominant ingest cost — and the opaque map also blocked column
+    // pruning during sampling). The sampling and count jobs now see plain
+    // (url, html) columns; the binary-extraction work is paid once.
+    val sorted = pages.select($"url", $"html")
       .repartitionByRange(p, $"url")
       .sortWithinPartitions($"url")
     sorted.rdd.zipWithIndex
-      .map { case (row, i) => (i, row.getString(0), row.getString(1)) }
+      .map { case (row, i) =>
+        (i, row.getString(0), extractText(row.getAs[Array[Byte]](1)))
+      }
       .toDF("doc_id", "url", "text")
   }
 
