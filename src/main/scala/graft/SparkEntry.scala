@@ -135,7 +135,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_media_meta" -> ((s, dir) => extra.Pages.mediaMeta(docs(s, dir))),
-    "q_media_features" -> ((s, dir) => extra.Pages.mediaFeaturesStub(s, docs(s, dir)))
+    "q_media_features" -> ((s, dir) => extra.Pages.mediaFeaturesStub(s, docs(s, dir))),
+    // Structured-Streaming incremental ingest (reference InsertIvf
+    // analog): pages arrive as file-source micro-batches, each builds its
+    // own segment index (monotone doc-id offsets), compaction concat-
+    // merges them; the compacted index's term stats must equal DuckDB's
+    // tokenize-and-count over the same corpus (ids don't enter df/cf).
+    "q_stream_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val workDir = s"/root/repo/target/stream-ingest-${new java.io.File(dir).getName}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+      val pagesDir = s"$workDir/pages"
+      extra.Pages.fromDocuments(docs(s, dir)).select(col("url"), col("html"))
+        .repartition(3).write.parquet(pagesDir)
+      val stream = s.readStream
+        .schema(new StructType().add("url", StringType).add("html", BinaryType))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pagesDir)
+      val q = streaming.StreamIngest.start(stream, workDir, testConfig)
+      try q.processAllAvailable() finally q.stop()
+      val serving = s"$workDir/serving"
+      streaming.StreamIngest.compact(s, workDir, serving)
+      s.read.parquet(s"$serving/stats/terms")
+        .select(col("term"), col("df"), col("cf"))
+        .orderBy("term")
+    })
   )
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -147,6 +172,7 @@ object SparkEntry {
     "q_corpus_stats"    -> OracleSql.corpusStatsSql,
     "q_term_stats"      -> OracleSql.termStatsSql,
     "q_term_stats_indexed" -> OracleSql.termStatsSql,
+    "q_stream_ingest"   -> OracleSql.termStatsSql,
     "q_doc_len"         -> OracleSql.docLenSql,
     "q_topk_oracle"     -> OracleSql.topkSql(),
     "q_topk_heap"       -> OracleSql.topkSql(),
