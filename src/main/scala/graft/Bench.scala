@@ -273,12 +273,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 4M docs: large enough that the parallel posting pass dominates
+    // 8M docs: large enough that the parallel posting pass dominates
     // Spark's ~constant per-job overhead (Amdahl fit at 1M docs gave ~9s
-    // serial vs ~29 core-s parallel — the efficiency reading was
-    // measuring the constant, not the engine) and the nq=1000 query job
-    // runs ~7s at 16 cores (amortized past its ~1s fixed cost).
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "800").toInt
+    // serial vs ~29 core-s parallel; at 4M the ~2s of fixed driver
+    // phases still cost ~8pp of measured build efficiency at 16 cores).
+    // Affordable now that the alternation adapts: a contended window
+    // shrinks the REMAINING pairs instead of losing them.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1600").toInt
     val nReps = sys.env.getOrElse("SPARK_GRAFT_QREPS", "50").toInt
     // headSampleInv=32: the salting head set comes from a deterministic
     // ~3% doc sample (layout-only decision; results provably unaffected) —
