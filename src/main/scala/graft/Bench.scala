@@ -333,6 +333,76 @@ object Bench {
           System.err.println(s"[bench] FAILED attempt (t=${elapsed.round}s): $msg")
       }
     def nOk(c: Int): Int = ok.count(_._2.cpus == c)
+
+    // ---- JSON assembly (callable mid-run: the file mirror is refreshed
+    // after every pair so a killed run still leaves its partial artifact) —
+    def currentJson(): String = {
+      // Best per point across reps. Points may differ in corpus scale
+      // after an adaptive shrink, so compare the SCALE-NORMALIZED rates
+      // (docs/sec, sec/query), not raw wall seconds.
+      def best(c: Int): Option[Point] = {
+        val mine = ok.collect { case (_, p) if p.cpus == c => p }.toSeq
+        if (mine.isEmpty) None
+        else {
+          val b = mine.maxBy(_.docsPerSec); val q = mine.minBy(_.secPerQuery)
+          Some(b.copy(querySec = q.querySec, secPerQuery = q.secPerQuery))
+        }
+      }
+      val pLoOpt = best(cpusLo)
+      val pHiOpt = best(cpusHi)
+      val ratio = cpusHi.toDouble / cpusLo
+      def f(d: Double) = f"$d%.4f".toDouble
+      def pointEntries(c: Int, p: Option[Point]): Seq[(String, Double)] = p.toSeq.flatMap(p => Seq(
+        s"build_sec_c$c" -> f(p.buildSec),
+        s"build_docs_per_sec_c$c" -> f(p.docsPerSec),
+        s"query_sec_total_c$c" -> f(p.querySec),
+        s"query_sec_per_query_c$c" -> f(p.secPerQuery)))
+      val effEntries: Seq[(String, Double)] = (pLoOpt, pHiOpt) match {
+        case (Some(lo), Some(hi)) => Seq(
+          s"scaling_efficiency_build_${cpusLo}_to_$cpusHi" -> f((hi.docsPerSec / lo.docsPerSec) / ratio),
+          s"scaling_efficiency_query_${cpusLo}_to_$cpusHi" -> f((lo.secPerQuery / hi.secPerQuery) / ratio))
+        case _ => Seq.empty
+      }
+      // PAIRED efficiency: the i-th hi point with the i-th lo point — both
+      // from the same ~alternation window of this shared host. The global
+      // best-of-N ratio above is biased DOWN structurally: the lo point
+      // leaves most host cores free, so it is more likely to catch a quiet
+      // window than the hi point, and a ratio of minima taken in DIFFERENT
+      // windows measures the neighbors, not the engine. Noise only ever
+      // slows a point, so the best paired value is the engine's
+      // demonstrated efficiency under the least-contaminated window.
+      val byRep = ok.groupBy(_._1)
+      val pairedEff: Seq[(Double, Double)] = byRep.values.toSeq.flatMap { reps =>
+        for {
+          hi <- reps.collectFirst { case (_, p) if p.cpus == cpusHi => p }
+          lo <- reps.collectFirst { case (_, p) if p.cpus == cpusLo => p }
+        } yield ((hi.docsPerSec / lo.docsPerSec) / ratio,
+          (lo.secPerQuery / hi.secPerQuery) / ratio)
+      }
+      val pairedEntries: Seq[(String, Double)] =
+        if (pairedEff.isEmpty) Seq.empty
+        else Seq(
+          s"scaling_efficiency_build_paired_best" -> f(pairedEff.map(_._1).max),
+          s"scaling_efficiency_query_paired_best" -> f(pairedEff.map(_._2).max),
+          "n_pairs" -> pairedEff.size.toDouble)
+      val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ pairedEntries ++ Seq(
+        "n_docs_indexed" -> pHiOpt.orElse(pLoOpt).map(_.nDocs.toDouble).getOrElse(0.0),
+        "nq" -> (QuerySet.queries.size * nReps).toDouble,
+        "child_failures" -> failures.size.toDouble,
+        "child_successes" -> ok.size.toDouble
+      )).++(probeT.toSeq.sortBy(_._1).map { case (n, s) =>
+        s"cpu_probe_sec_$n" -> f(s) // host deliverability evidence for the points chosen
+      }).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      s"""{"metric":"index-build docs/sec + BM25 top-10 latency, local[$cpusLo] vs local[$cpusHi] pinned JVMs","value":$elapsed,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // belt-and-braces vs the round-1/2 artifact failures (sbt's logger
+    // prefixing stdout): the same line also lands in a repo file
+    def writeJsonFile(): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"),
+        (currentJson() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+
     // ADAPTIVE alternation (round-2 postmortem: a contended window made
     // each full-size child take 5-50 min and only ONE pair fit the 45-min
     // budget — the paired estimator needs >=3 same-window pairs). After
@@ -347,12 +417,22 @@ object Bench {
     var curScale = scale
     var curTimed = 2
     val minScale = math.max(1, scale / 16)
+    def nPairs: Int = ok.groupBy(_._1).values
+      .count(reps => reps.exists(_._2.cpus == cpusHi) && reps.exists(_._2.cpus == cpusLo))
     var rep = 0
+    // Continue past the budget (bounded at 1.25×, at minScale, one timed
+    // rep) until at least TWO same-window pairs exist: a single pair is a
+    // point estimate with no window-noise protection (round-2 postmortem),
+    // and a minScale pair costs 1/16 of a planned one. The 1.25× cap
+    // protects the artifact itself — a run the driver kills prints no
+    // JSON at all (the file mirror below is the last resort).
     while (rep < outerReps && (rep == 0 || nOk(cpusLo) == 0 || nOk(cpusHi) == 0 ||
-      elapsed < budgetSec)) {
+      elapsed < budgetSec || (nPairs < 2 && elapsed < budgetSec * 1.25))) {
+      if (elapsed >= budgetSec) { curScale = minScale; curTimed = 1 }
       val repStart = elapsed
       attempt(cpusHi, rep, curScale, curTimed)
       attempt(cpusLo, rep, curScale, curTimed)
+      writeJsonFile() // partial results survive a driver kill
       val pairSec = elapsed - repStart
       val repsLeft = outerReps - rep - 1
       if (repsLeft > 0) {
@@ -381,72 +461,9 @@ object Bench {
         attempt(c, tagBase + extra, math.max(minScale, curScale / 2), 1); extra += 1
       }
     }
-    // Best per point across reps. Points may differ in corpus scale after
-    // an adaptive shrink, so compare the SCALE-NORMALIZED rates (docs/sec,
-    // sec/query), not raw wall seconds.
-    def best(c: Int): Option[Point] = {
-      val mine = ok.collect { case (_, p) if p.cpus == c => p }.toSeq
-      if (mine.isEmpty) None
-      else {
-        val b = mine.maxBy(_.docsPerSec); val q = mine.minBy(_.secPerQuery)
-        Some(b.copy(querySec = q.querySec, secPerQuery = q.secPerQuery))
-      }
-    }
-    val pLoOpt = best(cpusLo)
-    val pHiOpt = best(cpusHi)
-    val total = elapsed
-    val ratio = cpusHi.toDouble / cpusLo
-    def f(d: Double) = f"$d%.4f".toDouble
-    def pointEntries(c: Int, p: Option[Point]): Seq[(String, Double)] = p.toSeq.flatMap(p => Seq(
-      s"build_sec_c$c" -> f(p.buildSec),
-      s"build_docs_per_sec_c$c" -> f(p.docsPerSec),
-      s"query_sec_total_c$c" -> f(p.querySec),
-      s"query_sec_per_query_c$c" -> f(p.secPerQuery)))
-    val effEntries: Seq[(String, Double)] = (pLoOpt, pHiOpt) match {
-      case (Some(lo), Some(hi)) => Seq(
-        s"scaling_efficiency_build_${cpusLo}_to_$cpusHi" -> f((hi.docsPerSec / lo.docsPerSec) / ratio),
-        s"scaling_efficiency_query_${cpusLo}_to_$cpusHi" -> f((lo.secPerQuery / hi.secPerQuery) / ratio))
-      case _ => Seq.empty
-    }
-    // PAIRED efficiency: the i-th hi point with the i-th lo point — both
-    // from the same ~alternation window of this shared host. The global
-    // best-of-N ratio above is biased DOWN structurally: the lo point
-    // leaves most host cores free, so it is more likely to catch a quiet
-    // window than the hi point, and a ratio of minima taken in DIFFERENT
-    // windows measures the neighbors, not the engine. Noise only ever
-    // slows a point, so the best paired value is the engine's
-    // demonstrated efficiency under the least-contaminated window.
-    val byRep = ok.groupBy(_._1)
-    val pairedEff: Seq[(Double, Double)] = byRep.values.toSeq.flatMap { reps =>
-      for {
-        hi <- reps.collectFirst { case (_, p) if p.cpus == cpusHi => p }
-        lo <- reps.collectFirst { case (_, p) if p.cpus == cpusLo => p }
-      } yield ((hi.docsPerSec / lo.docsPerSec) / ratio,
-        (lo.secPerQuery / hi.secPerQuery) / ratio)
-    }
-    val pairedEntries: Seq[(String, Double)] =
-      if (pairedEff.isEmpty) Seq.empty
-      else Seq(
-        s"scaling_efficiency_build_paired_best" -> f(pairedEff.map(_._1).max),
-        s"scaling_efficiency_query_paired_best" -> f(pairedEff.map(_._2).max),
-        "n_pairs" -> pairedEff.size.toDouble)
-    val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ pairedEntries ++ Seq(
-      "n_docs_indexed" -> pHiOpt.orElse(pLoOpt).map(_.nDocs.toDouble).getOrElse(0.0),
-      "nq" -> (QuerySet.queries.size * nReps).toDouble,
-      "child_failures" -> failures.size.toDouble,
-      "child_successes" -> ok.size.toDouble
-    )).++(probeT.toSeq.sortBy(_._1).map { case (n, s) =>
-      s"cpu_probe_sec_$n" -> f(s) // host deliverability evidence for the points chosen
-    }).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     failures.foreach(m => System.err.println(s"[bench] child failure detail: $m"))
-    val jsonLine =
-      s"""{"metric":"index-build docs/sec + BM25 top-10 latency, local[$cpusLo] vs local[$cpusHi] pinned JVMs","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt-and-braces vs the round-1/2 artifact failures (sbt's logger
-    // prefixing stdout): the same line also lands in a repo file
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"),
-      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    val jsonLine = currentJson()
+    writeJsonFile()
     println(jsonLine)
   }
 }
