@@ -104,11 +104,15 @@ object StreamIngest {
     val dirs = committedBatchIds(spark, workDir).map(batchDir(workDir, _))
     require(dirs.nonEmpty, "no committed batches to compact")
     if (dirs.size == 1) {
-      // single segment: the "merge" is a filesystem copy of the one index
+      // single segment: the "merge" is a filesystem copy of the one
+      // index. The destination must NOT pre-exist: Hadoop's FileUtil.copy
+      // nests the source UNDER an existing directory instead of copying
+      // onto it.
       val f = fs(spark)
+      val dst = new org.apache.hadoop.fs.Path(outDir)
+      f.delete(dst, true)
       org.apache.hadoop.fs.FileUtil.copy(f, new org.apache.hadoop.fs.Path(dirs.head),
-        f, new org.apache.hadoop.fs.Path(outDir), false, true,
-        spark.sparkContext.hadoopConfiguration)
+        f, dst, false, true, spark.sparkContext.hadoopConfiguration)
       IndexBuild.readMeta(spark, outDir)
     } else Merge.concatMergeIndexes(spark, dirs, outDir)
   }

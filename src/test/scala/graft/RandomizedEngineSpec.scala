@@ -50,4 +50,54 @@ class RandomizedEngineSpec extends AnyFunSuite {
         s"iter=$iter cfg=$cfg queries=$queries: indexed != oracle")
     }
   }
+
+  test("random micro-batch chunkings: streamed ingest + compaction == one-shot build (5 seeded rounds)") {
+    import spark.implicits._
+    import graft.streaming.StreamIngest
+    val rnd = new scala.util.Random(20260818L)
+    val vocab = ('a' to 'o').map(c => s"w$c")
+    for (iter <- 1 to 5) {
+      val n = 30 + rnd.nextInt(90)
+      val pages = (0 until n).map { i =>
+        val len = rnd.nextInt(30)
+        val text = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (f"https://x.org/${rnd.nextInt(1000)}%03d/$i", text)
+      }
+      val cfg = IndexBuild.Config(
+        numPartitions = 4 + rnd.nextInt(8),
+        bucketWidth = 8 + rnd.nextInt(56),
+        headDf = 2 + rnd.nextInt(18),
+        docPartitioned = iter % 2 == 0)
+      // random chunking, empty chunks included
+      val nChunks = 1 + rnd.nextInt(4)
+      val chunks: Seq[Seq[(String, String)]] = {
+        val base = pages.grouped(math.max(1, n / nChunks)).toSeq
+        if (rnd.nextBoolean()) base :+ Seq.empty else base
+      }
+      val workDir = tmpDir()
+      chunks.zipWithIndex.foreach { case (ch, id) =>
+        val wrapped = ch.map { case (u, t) =>
+          (u, s"<html><body>$t</body></html>".getBytes("UTF-8"))
+        }.toDF("url", "html")
+        StreamIngest.ingestBatch(spark, wrapped, workDir, cfg, id.toLong)
+      }
+      // expected corpus: per-chunk url rank + monotone offsets
+      var offset = 0L
+      val expected = chunks.flatMap { ch =>
+        val rows = ch.sortBy(_._1).zipWithIndex.map { case ((u, t), i) =>
+          (offset + i, t)
+        }
+        offset += ch.size
+        rows
+      }
+      val oneShot = tmpDir(); val serving = tmpDir()
+      IndexBuild.writeIndex(spark, expected.toDF("doc_id", "text"), oneShot, cfg)
+      StreamIngest.compact(spark, workDir, serving)
+      val dec = (d: String) => IndexBuild.readSegments(spark, d)
+        .flatMap(Codec.decodeAll _).as[Posting]
+        .collect().toSeq.sortBy(p => (p.term, p.doc_id))
+      assert(dec(serving) == dec(oneShot),
+        s"iter=$iter chunks=${chunks.map(_.size)} cfg=$cfg: streamed != one-shot")
+    }
+  }
 }
