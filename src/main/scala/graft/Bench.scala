@@ -43,7 +43,12 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-c$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // FIXED task decomposition across the N and 4N points (64 = the
+      // build's reducer count): sizing shuffle partitions to the CORE
+      // count gave the low point coarser tasks — less per-task overhead
+      // on identical work — structurally biasing the efficiency ratio
+      // down. A scaling study varies ONLY the core count.
+      .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
@@ -118,7 +123,13 @@ object Bench {
       // under the broadcast ceiling
       val baseRow = base.agg(count(lit(1)), sum(octet_length(col("text")))).head()
       val baseN = baseRow.getLong(0)
-      val docs = scaleUp(base, scale, baseN, slices = cpus * 4,
+      // slices FIXED across points (not cpus*4): with per-core slicing
+      // the low point ran 4x coarser map tasks — fewer duplicate partial
+      // posting rows per (term, bucket), less Encoder/header overhead on
+      // the same posting mass — i.e. structurally LESS work than the high
+      // point. Fixed decomposition, varying only parallelism, is the
+      // honest N vs 4N proxy.
+      val docs = scaleUp(base, scale, baseN, slices = 64,
         baseBytes = baseRow.getLong(1))
       val nDocs = baseN * scale
       val dir = s"/root/repo/target/bench-index-c$cpus"
