@@ -264,12 +264,27 @@ object IndexBuild {
     * the manifest are skipped and only the gap is rebuilt (reference
     * analog: LoadFromBook's idempotent selective load,
     * `src/index_ivfpq.cpp:122-159`); dynamic partition overwrite cleans
-    * any partial files a killed run left in unfinished partitions. */
+    * any partial files a killed run left in unfinished partitions.
+    *
+    * With resume=false onto a NON-empty dir, the old segments/manifest/
+    * stats are deleted first: dynamic partition overwrite replaces only
+    * part_ids present in the NEW data, so a previous build with a
+    * different corpus or partition count would otherwise leave stale
+    * segment partitions the fresh stats/meta know nothing about (silent
+    * over-serving). Meta goes first, so a rebuild killed mid-way leaves a
+    * dir that FAILS to open (readMeta refuses), never one that opens and
+    * serves a mixture. */
   def writeIndex(spark: SparkSession, docs: DataFrame, dir: String,
                  cfg: Config = Config(), resume: Boolean = false): Meta = {
     import spark.implicits._
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (!resume)
+      Seq(s"$dir/stats/meta", segmentsDir(dir), manifestDir(dir), s"$dir/stats")
+        .foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        }
 
     def phase[T](name: String)(body: => T): T = {
       val t = System.nanoTime()

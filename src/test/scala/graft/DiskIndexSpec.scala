@@ -146,6 +146,37 @@ class DiskIndexSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("rebuild (resume=false) onto a non-empty dir leaves NO stale partitions") {
+    import spark.implicits._
+    // corpus A with P=32 writes part_ids corpus B's P=8 build never
+    // touches — dynamic partition overwrite alone would leave them behind
+    val corpusA = (0L until 200L).map(d => (d, s"alpha a$d stale"))
+      .toDF("doc_id", "text")
+    val corpusB = (0L until 50L).map(d => (d, s"beta b$d fresh"))
+      .toDF("doc_id", "text")
+    val cfgA = IndexBuild.Config(numPartitions = 32, bucketWidth = 16, headDf = 20)
+    val cfgB = IndexBuild.Config(numPartitions = 8, bucketWidth = 16, headDf = 20)
+    val shared = tmpDir(); val fresh = tmpDir()
+    IndexBuild.writeIndex(spark, corpusA, shared, cfgA)
+    IndexBuild.writeIndex(spark, corpusB, shared, cfgB) // rebuild, no resume
+    IndexBuild.writeIndex(spark, corpusB, fresh, cfgB)
+    def decoded(d: String) = IndexBuild.readSegments(spark, d)
+      .flatMap(Codec.decodeAll _).as[Posting]
+      .collect().toSeq.sortBy(p => (p.term, p.doc_id))
+    assert(decoded(shared) == decoded(fresh))
+    // no segment dir beyond P=8 survives, and no corpus-A term serves
+    val parts = new java.io.File(IndexBuild.segmentsDir(shared)).listFiles()
+      .filter(_.getName.startsWith("part_id=")).map(_.getName.stripPrefix("part_id=").toInt)
+    assert(parts.forall(_ < 8))
+    assert(!decoded(shared).exists(_.term == "alpha"))
+    val q = Seq((1, Seq("beta")), (2, Seq("alpha")))
+    val got = QueryEngine.runOnIndex(spark, shared, q)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val want = QueryEngine.runOnIndex(spark, fresh, q)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(got == want && !got.exists(_._1 == 2))
+  }
+
   test("resume: interrupted build (partial manifest) completes to identical content") {
     import spark.implicits._
     val docs = Stats.readDocuments(spark, sfDir)
