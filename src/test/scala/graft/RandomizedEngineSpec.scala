@@ -75,11 +75,13 @@ class RandomizedEngineSpec extends AnyFunSuite {
         if (rnd.nextBoolean()) base :+ Seq.empty else base
       }
       val workDir = tmpDir()
+      val tierFactor = 2 + rnd.nextInt(2) // fuzz the tier policy too
       chunks.zipWithIndex.foreach { case (ch, id) =>
         val wrapped = ch.map { case (u, t) =>
           (u, s"<html><body>$t</body></html>".getBytes("UTF-8"))
         }.toDF("url", "html")
         StreamIngest.ingestBatch(spark, wrapped, workDir, cfg, id.toLong)
+        if (rnd.nextBoolean()) StreamIngest.tierUp(spark, workDir, tierFactor)
       }
       // expected corpus: per-chunk url rank + monotone offsets
       var offset = 0L

@@ -72,13 +72,69 @@ class StreamIngestSpec extends AnyFunSuite {
       .as[(Int, Int, Long, Long)].collect().toSeq
     assert(res(serving) == res(oneShot))
 
-    // replay of an already-committed batch is a no-op (exactly-once on
-    // top of the streaming checkpoint): content before == after
-    val before = dec(StreamIngest.batchDir(workDir, 1))
+    // tiering (T=2) folded batches 0+1 into one segment and stripped the
+    // batch dirs to their stats/meta replay markers
+    val units = StreamIngest.currentUnits(spark, workDir)
+    assert(units.map(u => (u.lo, u.hi)) == Seq((0L, 1L), (2L, 2L)))
+    assert(!new java.io.File(
+      s"${StreamIngest.batchDir(workDir, 1)}/segments").exists())
+
+    // replay of an already-committed (now stripped) batch is a no-op
+    // (exactly-once on top of the streaming checkpoint): the meta marker
+    // short-circuits it and nothing gets rebuilt
     val replayed = StreamIngest.ingestBatch(spark,
       chunks(1).toDF("url", "html"), workDir, cfg, batchId = 1)
     assert(replayed.isDefined)
-    assert(dec(StreamIngest.batchDir(workDir, 1)) == before)
+    assert(!new java.io.File(
+      s"${StreamIngest.batchDir(workDir, 1)}/segments").exists())
     assert(StreamIngest.committedBatchIds(spark, workDir).size == 3)
+  }
+
+  test("tiered compaction: K batches merge with O(log K) rewrites, == one-shot build") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, sfDir)
+    val pages = extra.Pages.fromDocuments(docs)
+      .select($"url", $"html").as[(String, Array[Byte])].collect().toSeq
+    val k = 8
+    val chunks = pages.grouped((pages.size + k - 1) / k).toSeq
+    assert(chunks.size == k)
+    val workDir = tmpDir()
+    val cfg = SparkEntry.testConfig
+    val mergeLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    chunks.zipWithIndex.foreach { case (ch, i) =>
+      StreamIngest.ingestBatch(spark, ch.toDF("url", "html"), workDir, cfg, i.toLong)
+      mergeLog ++= StreamIngest.tierUp(spark, workDir, tierFactor = 2)
+    }
+    // binary-counter dynamics: 8 batches collapse to ONE segment via
+    // exactly K-1 = 7 pairwise merges, and total rewrite mass is
+    // K·log2(K) = 24 batch-units — no posting rewritten more than 3 times
+    assert(StreamIngest.currentUnits(spark, workDir)
+      .map(u => (u.lo, u.hi)) == Seq((0L, 7L)))
+    assert(mergeLog.size == k - 1)
+    assert(mergeLog.map(_._3).sum == k * 3)
+    assert(mergeLog.map(m => (m._1, m._2)).toSet ==
+      Set((0L, 1L), (2L, 3L), (0L, 3L), (4L, 5L), (6L, 7L), (4L, 7L), (0L, 7L)))
+
+    // the compacted serving index equals the one-shot build over the same
+    // id-assigned corpus
+    var offset = 0L
+    val expected = chunks.flatMap { ch =>
+      val rows = ch.sortBy(_._1).zipWithIndex.map { case ((url, html), i) =>
+        (offset + i, url, extra.Pages.extractText(html))
+      }
+      offset += ch.size
+      rows
+    }
+    val oneShot = tmpDir()
+    IndexBuild.writeIndex(spark, expected.toDF("doc_id", "url", "text"), oneShot, cfg)
+    val serving = tmpDir()
+    StreamIngest.compact(spark, workDir, serving)
+    val dec = (d: String) => IndexBuild.readSegments(spark, d)
+      .flatMap(Codec.decodeAll _).as[Posting]
+      .collect().toSeq.sortBy(p => (p.term, p.doc_id))
+    assert(dec(serving) == dec(oneShot))
+    val res = (d: String) => QueryEngine.runOnIndex(spark, d)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(res(serving) == res(oneShot))
   }
 }
