@@ -348,14 +348,19 @@ object Bench {
     // ---- JSON assembly (callable mid-run: the file mirror is refreshed
     // after every pair so a killed run still leaves its partial artifact) —
     def currentJson(): String = {
-      // Best per point across reps. Points may differ in corpus scale
-      // after an adaptive shrink, so compare the SCALE-NORMALIZED rates
-      // (docs/sec, sec/query), not raw wall seconds.
+      // Best per point across reps, restricted to the LARGEST corpus that
+      // cpu measured: per-query latency grows with corpus size, so after
+      // an adaptive shrink minBy(secPerQuery) would systematically favor
+      // shrunken-scale points and mix corpus sizes into one headline
+      // (round-3 ADVICE). Rates are still scale-normalized for the
+      // within-pair ratios; the BEST-point headline is max-scale-only.
       def best(c: Int): Option[Point] = {
         val mine = ok.collect { case (_, p) if p.cpus == c => p }.toSeq
         if (mine.isEmpty) None
         else {
-          val b = mine.maxBy(_.docsPerSec); val q = mine.minBy(_.secPerQuery)
+          val top = mine.map(_.nDocs).max
+          val atTop = mine.filter(_.nDocs == top)
+          val b = atTop.maxBy(_.docsPerSec); val q = atTop.minBy(_.secPerQuery)
           Some(b.copy(querySec = q.querySec, secPerQuery = q.secPerQuery))
         }
       }
@@ -367,9 +372,13 @@ object Bench {
         s"build_sec_c$c" -> f(p.buildSec),
         s"build_docs_per_sec_c$c" -> f(p.docsPerSec),
         s"query_sec_total_c$c" -> f(p.querySec),
-        s"query_sec_per_query_c$c" -> f(p.secPerQuery)))
+        s"query_sec_per_query_c$c" -> f(p.secPerQuery),
+        s"n_docs_c$c" -> p.nDocs.toDouble))
+      // Unpaired (cross-window) efficiency: only meaningful when both best
+      // points measured the SAME corpus — omitted otherwise (the paired
+      // entries below are the scale-safe signal).
       val effEntries: Seq[(String, Double)] = (pLoOpt, pHiOpt) match {
-        case (Some(lo), Some(hi)) => Seq(
+        case (Some(lo), Some(hi)) if lo.nDocs == hi.nDocs => Seq(
           s"scaling_efficiency_build_${cpusLo}_to_$cpusHi" -> f((hi.docsPerSec / lo.docsPerSec) / ratio),
           s"scaling_efficiency_query_${cpusLo}_to_$cpusHi" -> f((lo.secPerQuery / hi.secPerQuery) / ratio))
         case _ => Seq.empty
@@ -379,25 +388,58 @@ object Bench {
       // best-of-N ratio above is biased DOWN structurally: the lo point
       // leaves most host cores free, so it is more likely to catch a quiet
       // window than the hi point, and a ratio of minima taken in DIFFERENT
-      // windows measures the neighbors, not the engine. Noise only ever
-      // slows a point, so the best paired value is the engine's
-      // demonstrated efficiency under the least-contaminated window.
+      // windows measures the neighbors, not the engine.
+      //
+      // Noise-robustness (round-3 VERDICT #1): "noise only slows a point"
+      // does NOT make max() over pair RATIOS safe — contention on the LO
+      // point inflates the ratio above truth (r3 shipped a physically
+      // impossible 1.61). Per axis: a pair with efficiency > 1.0 is
+      // contaminated BY CONSTRUCTION (super-linear N->4N scaling of a
+      // fixed-decomposition job is impossible) and is excluded from
+      // *_paired_best; the capped median and the full per-pair table are
+      // emitted so the consumer sees the distribution, not one scalar.
       val byRep = ok.groupBy(_._1)
-      val pairedEff: Seq[(Double, Double)] = byRep.values.toSeq.flatMap { reps =>
+      val pairedEff: Seq[(Int, Double, Double, Long)] = byRep.toSeq.sortBy(_._1).flatMap { case (rep, reps) =>
         for {
           hi <- reps.collectFirst { case (_, p) if p.cpus == cpusHi => p }
           lo <- reps.collectFirst { case (_, p) if p.cpus == cpusLo => p }
-        } yield ((hi.docsPerSec / lo.docsPerSec) / ratio,
-          (lo.secPerQuery / hi.secPerQuery) / ratio)
+        } yield (rep, (hi.docsPerSec / lo.docsPerSec) / ratio,
+          (lo.secPerQuery / hi.secPerQuery) / ratio, hi.nDocs)
+      }
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted; val n = s.size
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+      }
+      def axisEntries(axis: String, vals: Seq[Double]): Seq[(String, Double)] = {
+        val clean = vals.filter(_ <= 1.0)
+        val bestE =
+          if (clean.nonEmpty) Seq(s"scaling_efficiency_${axis}_paired_best" -> f(clean.max))
+          else Seq.empty // every pair super-linear => pure noise; report nothing as "best"
+        bestE ++ Seq(
+          s"scaling_efficiency_${axis}_paired_median" -> f(math.min(1.0, median(vals))),
+          s"n_pairs_excluded_$axis" -> (vals.size - clean.size).toDouble)
       }
       val pairedEntries: Seq[(String, Double)] =
         if (pairedEff.isEmpty) Seq.empty
-        else Seq(
-          s"scaling_efficiency_build_paired_best" -> f(pairedEff.map(_._1).max),
-          s"scaling_efficiency_query_paired_best" -> f(pairedEff.map(_._2).max),
-          "n_pairs" -> pairedEff.size.toDouble)
-      val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ pairedEntries ++ Seq(
-        "n_docs_indexed" -> pHiOpt.orElse(pLoOpt).map(_.nDocs.toDouble).getOrElse(0.0),
+        else axisEntries("build", pairedEff.map(_._2)) ++
+          axisEntries("query", pairedEff.map(_._3)) ++
+          Seq("n_pairs" -> pairedEff.size.toDouble) ++
+          pairedEff.flatMap { case (rep, b, q, nd) => Seq(
+            s"pair_${rep}_build_eff" -> f(b),
+            s"pair_${rep}_query_eff" -> f(q),
+            s"pair_${rep}_n_docs" -> nd.toDouble)
+          }
+      // Host-deliverability ceiling from the same-run spin probe: if hi
+      // concurrent spin threads ran X% slower than lo, no job can show
+      // better than lo/hi efficiency in this window.
+      val ceilingEntries: Seq[(String, Double)] =
+        if (probeT.contains(cpusLo) && probeT.contains(cpusHi))
+          Seq("probe_efficiency_ceiling" -> f(probeT(cpusLo) / probeT(cpusHi)))
+        else Seq.empty
+      val allNDocs = ok.map(_._2.nDocs)
+      val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ pairedEntries ++ ceilingEntries ++ Seq(
+        "n_docs_indexed" -> (if (allNDocs.isEmpty) 0.0 else allNDocs.max.toDouble),
+        "scale_shrunk" -> (if (allNDocs.nonEmpty && allNDocs.min != allNDocs.max) 1.0 else 0.0),
         "nq" -> (QuerySet.queries.size * nReps).toDouble,
         "child_failures" -> failures.size.toDouble,
         "child_successes" -> ok.size.toDouble
@@ -428,6 +470,32 @@ object Bench {
     var curScale = scale
     var curTimed = 2
     val minScale = math.max(1, scale / 16)
+    // PRE-shrink from the cpu probe (round-3 VERDICT #4: the adaptive
+    // shrink reacted only AFTER a pair overran — the first pair alone ate
+    // 2131s of the 2700s budget, leaving a 2-pair artifact). The probe
+    // already measured the window before any child launched: probe(hi)
+    // relative to probe(lo) is the host's current deliverability. Budget
+    // each of the outerReps pairs an equal share, estimate the first
+    // pair's cost from a good-window calibration (~0.55 s of pair wall
+    // per scale unit at timedReps=2, builder runs rounds 2-3) inflated by
+    // the probe's contention factor, and shrink scale/timedReps BEFORE
+    // the first pair when it would not fit its share.
+    val pairSecPerScale =
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_SEC_PER_SCALE", "0.55").toDouble
+    if (probeT.contains(cpusLo) && probeT.contains(cpusHi)) {
+      val contention = math.max(1.0, probeT(cpusHi) / probeT(cpusLo))
+      val perPairBudget = budgetSec / outerReps
+      val estFirstPair = scale * pairSecPerScale * contention
+      if (estFirstPair > perPairBudget) {
+        curTimed = 1 // saves ~25% of a child before any scale loss
+        val est1 = estFirstPair * 0.75
+        if (est1 > perPairBudget)
+          curScale = math.max(minScale, (scale * perPairBudget / est1).toInt)
+        System.err.println(f"[bench] pre-shrink from probe (contention=$contention%.2f, " +
+          f"est pair=$estFirstPair%.0fs > share=$perPairBudget%.0fs): " +
+          f"scale->$curScale timedReps->$curTimed")
+      }
+    }
     def nPairs: Int = ok.groupBy(_._1).values
       .count(reps => reps.exists(_._2.cpus == cpusHi) && reps.exists(_._2.cpus == cpusLo))
     var rep = 0
@@ -448,15 +516,26 @@ object Bench {
       val repsLeft = outerReps - rep - 1
       if (repsLeft > 0) {
         val remaining = budgetSec - elapsed
-        val nextPairEst = pairSec * (if (curTimed == 2) 0.75 else 1.0)
-        if (nextPairEst * repsLeft > remaining) {
+        val share = remaining / repsLeft
+        // cost model: pair wall ~ linear in scale; best-of-2 -> best-of-1
+        // saves ~25% of a child
+        val estAtOne = pairSec * (if (curTimed == 2) 0.75 else 1.0)
+        if (pairSec > share) {
           curTimed = 1
-          val perPair = remaining / repsLeft
-          val shrink = perPair / nextPairEst
-          if (shrink < 1.0)
-            curScale = math.max(minScale, (curScale * shrink).toInt)
+          if (estAtOne > share)
+            curScale = math.max(minScale, (curScale * share / estAtOne).toInt)
           System.err.println(f"[bench] budget tight (pair=$pairSec%.0fs, " +
             f"left=$remaining%.0fs for $repsLeft pairs): scale->$curScale timedReps->$curTimed")
+        } else if (curScale < scale && pairSec * 1.1 < share) {
+          // window improved after a (pre-)shrink: grow the REMAINING pairs
+          // back toward full scale, bounded by what fits the per-pair
+          // share at the measured per-scale cost with 10% headroom
+          val grown = math.min(scale, (curScale * share / (pairSec * 1.1)).toInt)
+          if (grown > curScale) {
+            System.err.println(f"[bench] window improved (pair=$pairSec%.0fs " +
+              f"< share=$share%.0fs): scale $curScale->$grown")
+            curScale = grown
+          }
         }
       }
       rep += 1
