@@ -21,6 +21,19 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Stats.readDocuments(s, dir)
 
+  /** Per-invocation scratch dir for queries that persist an index before
+    * querying it. A fresh temp dir per call (not a path keyed by the
+    * dataset basename — round-3 ADVICE: two concurrent Verify runs, or
+    * two datasets sharing a basename, would clobber each other's
+    * index/checkpoint state mid-query). Rooted under target/, not /tmp:
+    * the sandbox reaps /tmp mid-job, and the returned DataFrames read
+    * these dirs lazily. */
+  private def scratchDir(prefix: String): String = {
+    val root = java.nio.file.Paths.get("/root/repo/target/scratch")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001: full indexed BM25 top-10
     * over the reference query batch; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -101,7 +114,7 @@ object SparkEntry {
     // trains nothing (full probe here ⇒ == brute force, oracle-checked)
     "q_ann_kmeans_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val idxDir = s"/root/repo/target/ann-idx-${new java.io.File(dir).getName}"
+      val idxDir = scratchDir("ann-idx-")
       extra.AnnIndex.write(s, e, idxDir)
       extra.AnnIndex.topk(s, idxDir,
         e.where(col("vec_id") < extra.Ann.NumQueryVecs), nprobe = extra.Ann.KmKc)
@@ -116,7 +129,7 @@ object SparkEntry {
     // ADC + exact rerank). Lossless config + full probe ⇒ == exact-L2
     // scan (oracle-checked); the lossy pruned config is recall-spec'd.
     "q_ann_ivfpq" -> ((s, dir) => {
-      val idxDir = s"/root/repo/target/ivfpq-idx-${new java.io.File(dir).getName}"
+      val idxDir = scratchDir("ivfpq-idx-")
       extra.AnnIndexPq.ivfPqTopkLossless(s, embeddings(s, dir), idxDir)
     }),
     // --- text analysis ----------------------------------------------------
@@ -143,9 +156,7 @@ object SparkEntry {
     // tokenize-and-count over the same corpus (ids don't enter df/cf).
     "q_stream_ingest" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val workDir = s"/root/repo/target/stream-ingest-${new java.io.File(dir).getName}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+      val workDir = scratchDir("stream-ingest-")
       val pagesDir = s"$workDir/pages"
       extra.Pages.fromDocuments(docs(s, dir)).select(col("url"), col("html"))
         .repartition(3).write.parquet(pagesDir)
