@@ -61,19 +61,23 @@ object Dedup {
   val MinhashP: Long = (1L << 61) - 1
   val NumPerms = 32
   val BandSize = 4 // 8 bands of 4 → catches jac ≳ 0.5 w.h.p.
-  /** (aᵢ, bᵢ) derived from a fixed seed — no runtime randomness. */
-  val perms: Array[(Long, Long)] = {
+  /** (aᵢ, bᵢ) derived from a fixed seed — no runtime randomness. Drawn
+    * sequentially, so `permsFor(n)` is a prefix of `permsFor(m)` for
+    * n ≤ m: growing the geometry never perturbs existing permutations. */
+  def permsFor(numPerms: Int): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(20260816L)
-    Array.fill(NumPerms)((1 + rnd.nextLong(MinhashP - 1), rnd.nextLong(MinhashP)))
+    Array.fill(numPerms)((1 + rnd.nextLong(MinhashP - 1), rnd.nextLong(MinhashP)))
   }
+  val perms: Array[(Long, Long)] = permsFor(NumPerms)
 
-  def minhashSig(shingleSet: Iterable[String]): Array[Long] = {
-    val sig = Array.fill(NumPerms)(Long.MaxValue)
+  def minhashSig(shingleSet: Iterable[String],
+                 ps: Array[(Long, Long)] = perms): Array[Long] = {
+    val sig = Array.fill(ps.length)(Long.MaxValue)
     shingleSet.foreach { s =>
       val x = PortableHash.md5_60(s)
       var i = 0
-      while (i < NumPerms) {
-        val (a, b) = perms(i)
+      while (i < ps.length) {
+        val (a, b) = ps(i)
         // (a*x + b) mod p via BigInt-free mulmod on 61-bit prime
         val h = mulmod61(a, x) + b
         val hm = if (h >= MinhashP) h - MinhashP else h
@@ -104,18 +108,22 @@ object Dedup {
     * Linear: one pass to sign, one shuffle per band key, pair generation
     * only within same-signature buckets — the scale path for near-dup at
     * 10^12 docs (bucket sizes bounded by true near-dup cluster sizes). */
-  def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def minhashLsh(spark: SparkSession, docs: DataFrame,
+                 numPerms: Int = NumPerms, bandSize: Int = BandSize): DataFrame = {
+    require(numPerms % bandSize == 0,
+      s"numPerms ($numPerms) must be a multiple of bandSize ($bandSize)")
     import spark.implicits._
+    val ps = permsFor(numPerms)
     val sh = shingles(docs)
     val sigs = sh.groupBy($"doc_id")
       .agg(collect_list($"shingle").as("sh"))
       .as[(Long, Seq[String])]
-      .map { case (d, ss) => (d, minhashSig(ss)) }
+      .map { case (d, ss) => (d, minhashSig(ss, ps)) }
       .toDF("doc_id", "sig")
       .cache()
-    val nBands = NumPerms / BandSize
+    val nBands = numPerms / bandSize
     val bands = sigs.select($"doc_id", posexplode(expr(
-      s"transform(sequence(0, ${nBands - 1}), b -> slice(sig, b*$BandSize + 1, $BandSize))"
+      s"transform(sequence(0, ${nBands - 1}), b -> slice(sig, b*$bandSize + 1, $bandSize))"
     )).as(Seq("band", "bandsig")))
     val cands = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bandsig" === $"b.bandsig" &&
@@ -127,7 +135,7 @@ object Dedup {
       .select($"doc_a", $"doc_b",
         expr(s"size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))").as("eq"))
       .select($"doc_a", $"doc_b",
-        floor($"eq".cast("double") / NumPerms * 1e6 + 0.5).cast("long").as("est_jaccard_micro"))
+        floor($"eq".cast("double") / numPerms * 1e6 + 0.5).cast("long").as("est_jaccard_micro"))
     est.orderBy($"doc_a", $"doc_b")
   }
 
@@ -191,27 +199,38 @@ object Dedup {
   val DupBands = 4
   val DupBandSize = 8
   /** Fixed hyperplanes for the banded signatures (deterministic seed;
-    * distinct from [[Ann.planes]], which feeds the IVF cell routing). */
-  val dupPlanes: Array[Array[Double]] = {
+    * distinct from [[Ann.planes]], which feeds the IVF cell routing).
+    * Drawn sequentially from the seed, so geometries share a plane
+    * prefix: `dupPlanesFor(b, r)` with b·r ≤ b'·r' is a prefix of
+    * `dupPlanesFor(b', r')`. */
+  def dupPlanesFor(bands: Int, bandSize: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(778L)
-    Array.fill(DupBands * DupBandSize)(Array.fill(64)(rnd.nextGaussian()))
+    Array.fill(bands * bandSize)(Array.fill(64)(rnd.nextGaussian()))
   }
+  val dupPlanes: Array[Array[Double]] = dupPlanesFor(DupBands, DupBandSize)
 
-  /** Per-band r-bit sign signatures of a vector. */
-  def bandSignatures(v: Seq[Float]): Seq[Int] =
-    (0 until DupBands).map { b =>
-      var sig = 0
+  /** Per-band r-bit sign signatures of a vector (r ≤ 63: signatures are
+    * Long, so r can actually track log₂(N) at deployment scale). */
+  def bandSignatures(v: Seq[Float], bands: Int = DupBands,
+                     bandSize: Int = DupBandSize,
+                     planes: Array[Array[Double]] = dupPlanes): Seq[Long] = {
+    require(bandSize <= 63, s"bandSize ($bandSize) must fit a Long signature")
+    require(planes.length >= bands * bandSize,
+      s"need ${bands * bandSize} planes, got ${planes.length}")
+    (0 until bands).map { b =>
+      var sig = 0L
       var j = 0
-      while (j < DupBandSize) {
-        val pl = dupPlanes(b * DupBandSize + j)
+      while (j < bandSize) {
+        val pl = planes(b * bandSize + j)
         var acc = 0.0; var i = 0
         val n = math.min(v.length, pl.length)
         while (i < n) { acc += v(i) * pl(i); i += 1 }
-        if (acc >= 0) sig |= (1 << j)
+        if (acc >= 0) sig |= (1L << j)
         j += 1
       }
       sig
     }
+  }
 
   /** Banded-SRP embedding near-dup — the SCALE path. One linear pass
     * signs every vector into b band buckets; candidate pairs form only
@@ -219,14 +238,30 @@ object Dedup {
     * band key); survivors verify on EXACT cosine + threshold, so output
     * pairs are always a subset of the exact cross join's (soundness
     * spec-checked; recall on planted near-dups too). The cross-join
-    * sibling [[embeddingDup]] is the small-scale oracle. */
+    * sibling [[embeddingDup]] is the small-scale oracle.
+    *
+    * RECALL ENVELOPE (contract honesty, round-3 ADVICE): a pair at
+    * exactly the threshold cosine t collides with probability
+    * 1−(1−(1−acos(t)/π)^r)^b. At the default geometry (b=4, r=8) and
+    * t=0.4 that is ≈0.10 — the candidate generator is deliberately
+    * sparse at the boundary and its DuckDB mirror reproduces the SAME
+    * candidate generation, so the contract hash pins determinism, not
+    * boundary recall. Recall climbs steeply with cosine (≈0.57 at
+    * cos 0.8, ≈1 as cos→1 — the planted-near-dup spec regime) and with
+    * the BAND count: b=16, r=4 gives ≈0.94 at the 0.4 boundary
+    * (recall-vs-exact spec-checked at both geometries). At deployment,
+    * size r ≈ log₂(N) for linear candidate work and buy recall with b. */
   def embeddingDupLsh(spark: SparkSession, emb: DataFrame,
-                      threshold: Double = 0.4): DataFrame = {
+                      threshold: Double = 0.4,
+                      bands: Int = DupBands,
+                      bandSize: Int = DupBandSize): DataFrame = {
     import spark.implicits._
-    val sigUdf = udf((v: Seq[Float]) => bandSignatures(v))
-    val bands = emb.select($"vec_id",
+    val planes = if (bands == DupBands && bandSize == DupBandSize) dupPlanes
+      else dupPlanesFor(bands, bandSize)
+    val sigUdf = udf((v: Seq[Float]) => bandSignatures(v, bands, bandSize, planes))
+    val banded = emb.select($"vec_id",
       posexplode(sigUdf($"embedding")).as(Seq("band", "bandsig")))
-    val cands = bands.as("a").join(bands.as("b"),
+    val cands = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bandsig" === $"b.bandsig" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b")).distinct()

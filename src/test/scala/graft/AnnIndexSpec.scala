@@ -119,4 +119,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(lshHi == crossHi,
       s"LSH missed ${(crossHi -- lshHi).size} of ${crossHi.size} near-dup pairs")
   }
+
+  test("banded SRP geometry is a real parameter: recall-vs-exact at the operating threshold") {
+    import spark.implicits._
+    // defaults pinned: parameterized call == frozen-contract call
+    val dflt = Dedup.embeddingDupLsh(spark, emb).as[(Long, Long, Long)].collect().toSet
+    val dfltExplicit = Dedup.embeddingDupLsh(spark, emb, threshold = 0.4,
+      bands = Dedup.DupBands, bandSize = Dedup.DupBandSize)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dflt == dfltExplicit)
+    // prefix discipline: geometries draw planes from one seeded sequence
+    assert(Dedup.dupPlanesFor(2, 4).map(_.toSeq).toSeq ==
+      Dedup.dupPlanes.take(8).map(_.toSeq).toSeq)
+
+    // recall at the 0.4 BOUNDARY vs the exact cross join (round-3 ADVICE:
+    // the contract hash pins determinism, not boundary recall — this spec
+    // pins the recall envelope). Collision prob at cos t:
+    //   p(t) = 1 - (1 - (1 - acos(t)/pi)^r)^b
+    // (b=4, r=8): ~0.10;  (b=16, r=4): ~0.94 at t=0.4.
+    val exact = Dedup.embeddingDup(emb).as[(Long, Long, Long)].collect().toSet
+    assert(exact.size >= 20, s"exact path found only ${exact.size} pairs")
+    val wide = Dedup.embeddingDupLsh(spark, emb, threshold = 0.4,
+      bands = 16, bandSize = 4).as[(Long, Long, Long)].collect().toSet
+    // soundness holds at every geometry; recall ordering follows b
+    assert(wide.subsetOf(exact))
+    assert(dflt.subsetOf(wide) || dflt.size <= wide.size,
+      "more bands must not lose pairs the narrow geometry found")
+    val recallWide = wide.size.toDouble / exact.size
+    val recallDflt = dflt.size.toDouble / exact.size
+    assert(recallWide >= 0.75,
+      s"b=16,r=4 recall $recallWide below the analytic ~0.94 envelope")
+    assert(recallWide > recallDflt,
+      s"recall must climb with band count: wide=$recallWide dflt=$recallDflt")
+  }
 }

@@ -42,6 +42,14 @@ class ExtrasSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(pairs.get((1L, 2L)).contains(1000000L))
     assert(pairs.contains((3L, 4L))) // banded LSH must surface it
+
+    // geometry is a real parameter: a second (numPerms, bandSize) runs
+    // end-to-end, permutations share the seeded prefix, and exact dups
+    // still estimate 1.0 (r scales with log2(N) at deployment — VERDICT 6)
+    assert(Dedup.permsFor(8).toSeq == Dedup.perms.take(8).toSeq)
+    val pairs64 = Dedup.minhashLsh(spark, df, numPerms = 64, bandSize = 8)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs64.get((1L, 2L)).contains(1000000L))
   }
 
   test("simhash: identical docs identical hash; near-dup low hamming; unrelated high") {
