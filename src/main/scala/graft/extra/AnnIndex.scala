@@ -29,25 +29,77 @@ object AnnIndex {
   def trainSample(emb: DataFrame, inv: Int): DataFrame =
     if (inv <= 1) emb else emb.where(pmod(col("vec_id"), lit(inv)) === 0)
 
+  def manifestDir(dir: String): String = s"$dir/manifest"
+
+  private[extra] def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[extra] def deletePaths(spark: SparkSession, paths: Seq[String]): Unit =
+    paths.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true); ()
+    }
+
   /** Build: one k-means fit over a deterministic sample (the only
     * training, ever) + one assignment pass writing cell-partitioned
     * parquet. Scale shape: the fit scans `1/trainSampleInv` of the table
     * per Lloyd iteration; the assignment pass is linear, embarrassingly
     * parallel, and the write shuffles nothing (each task appends to its
-    * cells' directories). */
+    * cells' directories).
+    *
+    * Commit protocol mirrors the fulltext build (meta LAST; per-cell
+    * manifest; reference analog: LoadFromBook idempotent selective load,
+    * `src/index_ivfpq.cpp:122-159`). With resume=true a killed build
+    * restarts from its last commit point: a complete index no-ops, a
+    * committed codebook skips retraining, and cells already in the
+    * manifest are dropped BEFORE the encode shuffle-free write (dynamic
+    * partition overwrite scrubs partial files in gap cells). With
+    * resume=false any previous index at `dir` is deleted first — dynamic
+    * overwrite alone would leave stale cells a smaller rebuild never
+    * touches. */
   def write(spark: SparkSession, emb: DataFrame, dir: String,
-            kc: Int = Ann.KmKc, iters: Int = 8, trainSampleInv: Int = 4): Meta = {
+            kc: Int = Ann.KmKc, iters: Int = 8, trainSampleInv: Int = 4,
+            resume: Boolean = false): Meta = {
     import spark.implicits._
-    val centroids = Ann.kmeansFit(trainSample(emb, trainSampleInv), kc, iters)
+    if (!resume)
+      deletePaths(spark, Seq(s"$dir/meta", s"$dir/cells", s"$dir/centroids",
+        manifestDir(dir)))
+    else if (exists(spark, s"$dir/meta"))
+      return readMeta(spark, dir) // meta is the commit point: already complete
+    val centroids =
+      if (resume && exists(spark, s"$dir/centroids"))
+        loadCentroids(spark, dir)
+      else {
+        val c = Ann.kmeansFit(trainSample(emb, trainSampleInv), kc, iters)
+        c.zipWithIndex
+          .map { case (ct, i) => (i, ct.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+        c
+      }
+    val done: Set[Int] =
+      if (resume && exists(spark, manifestDir(dir)))
+        spark.read.parquet(manifestDir(dir)).select($"cell").as[Int].collect().toSet
+      else Set.empty
     val assignUdf = udf((v: Seq[Float]) => Ann.argminL2(v, centroids))
-    emb.select($"vec_id", $"embedding", assignUdf($"embedding").as("cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+    val assigned0 = emb.select($"vec_id", $"embedding", assignUdf($"embedding").as("cell"))
+    val assigned = if (done.isEmpty) assigned0
+                   else assigned0.where(!$"cell".isin(done.toSeq: _*))
+    assigned.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
       .parquet(s"$dir/cells")
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    // manifest rows for the cells THIS run wrote (append = the per-cell
+    // commit; counted from the written partitions — partition pruning
+    // makes this a gap-only read, no second encode pass)
+    val gapManifest = spark.read.parquet(s"$dir/cells")
+      .select(col("cell").cast("int").as("cell"))
+      .where(if (done.isEmpty) lit(true) else !col("cell").isin(done.toSeq: _*))
+      .groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    gapManifest.coalesce(1).write.mode(SaveMode.Append).parquet(manifestDir(dir))
     val row = emb.agg(count(lit(1)), max(size($"embedding"))).head()
     val meta = Meta(row.getLong(0), row.getInt(1), kc, iters)
     Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")

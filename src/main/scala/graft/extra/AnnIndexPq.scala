@@ -44,34 +44,72 @@ object AnnIndexPq {
                         ks: Int, km_iters: Int, pq_iters: Int,
                         train_sample_inv: Int)
 
+  def manifestDir(dir: String): String = s"$dir/manifest"
+
   /** Build: sampled coarse + PQ training, then ONE pass over the corpus
     * that coarse-assigns and PQ-encodes each vector and writes the codes
     * cell-partitioned (encode-in-insert). No shuffle: each task appends
-    * to its cells' directories. */
+    * to its cells' directories.
+    *
+    * Commit protocol mirrors the fulltext build (meta LAST; per-cell
+    * manifest; reference analog: LoadFromBook idempotent selective load,
+    * `src/index_ivfpq.cpp:122-159`). resume=true restarts a killed build
+    * from its last commit point: complete index → no-op; committed models
+    * (centroids + codebooks) → skip the training scans; manifest cells →
+    * dropped before the encode pass, and dynamic partition overwrite
+    * scrubs partial files in the gap cells. resume=false deletes any
+    * previous index at `dir` first (stale-cell footgun). */
   def write(spark: SparkSession, emb: DataFrame, dir: String,
             kc: Int = Ann.KmKc, ks: Int = Pq.Ks,
             kmIters: Int = 4, pqIters: Int = 2,
-            trainSampleInv: Int = 4): Meta = {
+            trainSampleInv: Int = 4, resume: Boolean = false): Meta = {
     import spark.implicits._
-    val train = AnnIndex.trainSample(emb, trainSampleInv)
-    val centroids = Ann.kmeansFit(train, kc, kmIters)
-    val codebooks = Pq.trainCodebooks(train, ks, pqIters)
+    if (!resume)
+      AnnIndex.deletePaths(spark, Seq(s"$dir/meta", s"$dir/codes",
+        s"$dir/centroids", s"$dir/codebooks", manifestDir(dir)))
+    else if (AnnIndex.exists(spark, s"$dir/meta"))
+      return readMeta(spark, dir) // meta is the commit point: already complete
+    val (centroids, codebooks) =
+      if (resume && AnnIndex.exists(spark, s"$dir/centroids") &&
+          AnnIndex.exists(spark, s"$dir/codebooks"))
+        (AnnIndex.loadCentroids(spark, dir), loadCodebooks(spark, dir))
+      else {
+        val train = AnnIndex.trainSample(emb, trainSampleInv)
+        val c = Ann.kmeansFit(train, kc, kmIters)
+        val cb = Pq.trainCodebooks(train, ks, pqIters)
+        c.zipWithIndex.map { case (ct, i) => (i, ct.toSeq) }.toSeq
+          .toDF("cell", "centroid").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+        cb.zipWithIndex.flatMap { case (b, m) =>
+          b.zipWithIndex.map { case (cw, ci) => (m, ci, cw.toSeq) }
+        }.toSeq.toDF("m", "cw", "vec").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+        (c, cb)
+      }
+    val done: Set[Int] =
+      if (resume && AnnIndex.exists(spark, manifestDir(dir)))
+        spark.read.parquet(manifestDir(dir)).select($"cell").as[Int].collect().toSet
+      else Set.empty
     val ctrBc = spark.sparkContext.broadcast(centroids)
     val cbBc = spark.sparkContext.broadcast(codebooks)
-    emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+    val encoded0 = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
       .map { case (id, v) =>
         (id, Ann.argminL2(v, ctrBc.value), Pq.encodeOne(v, cbBc.value).toSeq)
       }
       .toDF("vec_id", "cell", "code")
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+    val encoded = if (done.isEmpty) encoded0
+                  else encoded0.where(!$"cell".isin(done.toSeq: _*))
+    encoded.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
       .parquet(s"$dir/codes")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    codebooks.zipWithIndex.flatMap { case (cb, m) =>
-      cb.zipWithIndex.map { case (cw, c) => (m, c, cw.toSeq) }
-    }.toSeq.toDF("m", "cw", "vec").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    // per-cell manifest append (counted from the written gap partitions —
+    // partition pruning, no second encode pass)
+    val gapManifest = spark.read.parquet(s"$dir/codes")
+      .select(col("cell").cast("int").as("cell"))
+      .where(if (done.isEmpty) lit(true) else !col("cell").isin(done.toSeq: _*))
+      .groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    gapManifest.coalesce(1).write.mode(SaveMode.Append).parquet(manifestDir(dir))
     val row = emb.agg(count(lit(1)), max(size($"embedding"))).head()
     val meta = Meta(row.getLong(0), row.getInt(1), kc, Pq.M, Pq.SubDim, ks,
       kmIters, pqIters, trainSampleInv)

@@ -94,4 +94,75 @@ class AnnIndexPqSpec extends AnyFunSuite {
     assert(AnnIndexPq.loadCodebooks(spark, dir).map(_.map(_.toSeq).toSeq).toSeq ==
       AnnIndexPq.loadCodebooks(spark, dir2).map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("kill-and-resume: interrupted write (partial manifest, no meta) completes to identical content") {
+    import spark.implicits._
+    val full = tmpDir(); val partial = tmpDir()
+    AnnIndexPq.write(spark, emb, full)
+    AnnIndexPq.write(spark, emb, partial)
+    // simulate a kill after SOME cells committed: drop half the cell dirs
+    // + their manifest rows + the meta commit marker (mirrors
+    // DiskIndexSpec's interrupted-build shape)
+    val allCells = spark.read.parquet(AnnIndexPq.manifestDir(partial))
+      .select($"cell").as[Int].collect().toSeq.sorted
+    val killed = allCells.zipWithIndex.collect { case (c, i) if i % 2 == 1 => c }
+    assert(killed.nonEmpty)
+    def rmPath(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmPath); f.delete(); ()
+    }
+    killed.foreach(c => rmPath(new java.io.File(s"$partial/codes/cell=$c")))
+    val kept = spark.read.parquet(AnnIndexPq.manifestDir(partial))
+      .where(!$"cell".isin(killed: _*)).collect()
+    val schema = spark.read.parquet(AnnIndexPq.manifestDir(partial)).schema
+    rmPath(new java.io.File(AnnIndexPq.manifestDir(partial)))
+    spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq), schema)
+      .write.parquet(AnnIndexPq.manifestDir(partial))
+    rmPath(new java.io.File(s"$partial/meta"))
+
+    // resume fills exactly the gap: codes identical, manifest complete,
+    // models untouched (no retrain — the committed codebooks are reused)
+    AnnIndexPq.write(spark, emb, partial, resume = true)
+    def codesOf(d: String) = AnnIndexPq.readCodes(spark, d)
+      .as[(Long, Seq[Int], Int)].collect().toSeq.sortBy(_._1)
+    assert(codesOf(partial) == codesOf(full))
+    assert(spark.read.parquet(AnnIndexPq.manifestDir(partial))
+      .select($"cell").as[Int].collect().toSet == allCells.toSet)
+    val q = emb.where($"vec_id" < Ann.NumQueryVecs)
+    assert(collectTopk(AnnIndexPq.topk(spark, partial, q, emb, nprobe = 8)) ==
+      collectTopk(AnnIndexPq.topk(spark, full, q, emb, nprobe = 8)))
+    // a resume on the COMPLETE index is a no-op (meta = commit point)
+    val before = codesOf(partial)
+    AnnIndexPq.write(spark, emb, partial, resume = true)
+    assert(codesOf(partial) == before)
+  }
+
+  test("kill-and-resume for the plain IVF index (cells layout)") {
+    import spark.implicits._
+    val full = tmpDir(); val partial = tmpDir()
+    AnnIndex.write(spark, emb, full)
+    AnnIndex.write(spark, emb, partial)
+    val allCells = spark.read.parquet(AnnIndex.manifestDir(partial))
+      .select($"cell").as[Int].collect().toSeq.sorted
+    val killed = allCells.take(allCells.size / 2)
+    assert(killed.nonEmpty)
+    def rmPath(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmPath); f.delete(); ()
+    }
+    killed.foreach(c => rmPath(new java.io.File(s"$partial/cells/cell=$c")))
+    val kept = spark.read.parquet(AnnIndex.manifestDir(partial))
+      .where(!$"cell".isin(killed: _*)).collect()
+    val schema = spark.read.parquet(AnnIndex.manifestDir(partial)).schema
+    rmPath(new java.io.File(AnnIndex.manifestDir(partial)))
+    spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq), schema)
+      .write.parquet(AnnIndex.manifestDir(partial))
+    rmPath(new java.io.File(s"$partial/meta"))
+    AnnIndex.write(spark, emb, partial, resume = true)
+    def cellsOf(d: String) = AnnIndex.readCells(spark, d)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(cellsOf(partial) == cellsOf(full))
+    val q = emb.where($"vec_id" < Ann.NumQueryVecs)
+    def res(d: String) = AnnIndex.topk(spark, d, q, nprobe = 4)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(res(partial) == res(full))
+  }
 }
