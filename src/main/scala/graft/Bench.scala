@@ -303,6 +303,49 @@ object Bench {
     val cfg = IndexBuild.Config(numPartitions = 64, bucketWidth = 4096,
       headDf = 1000, blockSize = Codec.BlockSize, headSampleInv = 32)
 
+    if (args.headOption.contains("profile")) {
+      // Phase-profile the batched serving query at scale (SURVEY §7.5:
+      // does VByte decode / BM25 contrib earn a codegen Expression?).
+      // Usage: profile <cpus> <scale> <qreps>. Prints one JSON line with
+      // the clean batch time and the task-summed wall split of a
+      // profiled run (decode vs contrib vs TAAT score vs heap merge).
+      val Array(_, c, sc, nr) = args
+      val spark = session(c.toInt)
+      try {
+        val base = Stats.readDocuments(spark, sfDir)
+        val baseRow = base.agg(count(lit(1)), sum(octet_length(col("text")))).head()
+        val docs = scaleUp(base, sc.toInt, baseRow.getLong(0), slices = 64,
+          baseBytes = baseRow.getLong(1))
+        val serveDir = "/root/repo/target/profile-serve"
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(serveDir), true)
+        IndexBuild.writeIndex(spark, docs, serveDir, cfg.copy(docPartitioned = true))
+        val handle = QueryEngine.openIndex(spark, serveDir)
+        QueryEngine.runOnHandle(spark, handle, QuerySet.queryTerms).count() // warm
+        def timed(body: => Unit): Double = {
+          val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
+        }
+        val batch = queryBatch(nr.toInt)
+        val clean = (1 to 2).map(_ =>
+          timed { QueryEngine.runOnHandle(spark, handle, batch).count(); () }).min
+        val accs = new QueryEngine.EffortAccs(spark)
+        val prof = timed {
+          QueryEngine.runOnHandle(spark, handle, batch, effort = Some(accs)).count(); ()
+        }
+        val phases = Seq(
+          "decode" -> accs.decodeNanos.value.longValue,
+          "contrib" -> accs.contribNanos.value.longValue,
+          "score" -> accs.scoreNanos.value.longValue,
+          "merge" -> accs.mergeNanos.value.longValue)
+        val tot = phases.map(_._2).sum.toDouble.max(1.0)
+        val parts = phases.map { case (n, v) =>
+          f""""${n}_ms":${v / 1e6}%.1f,"${n}_share":${v / tot}%.4f"""
+        }.mkString(",")
+        println(f"""{"profile":"query-phase","cpus":${c.toInt},"scale":${sc.toInt},"nq":${batch.size},"clean_sec":$clean%.3f,"profiled_sec":$prof%.3f,$parts,"effort":"$accs"}""")
+      } finally spark.stop()
+      return
+    }
+
     if (args.headOption.contains("point")) {
       // child mode: one pinned measurement, TSV result line on stdout
       val Array(_, c, sf, sc, nr, tr) = args

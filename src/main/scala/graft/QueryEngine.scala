@@ -36,6 +36,16 @@ object QueryEngine {
     val blocksTotal = spark.sparkContext.longAccumulator("blocks_total")
     val blocksDecoded = spark.sparkContext.longAccumulator("blocks_decoded")
     val docsScored = spark.sparkContext.longAccumulator("docs_scored")
+    // Wall-time split of the batched scorer (task-summed nanos; the
+    // SURVEY §7.5 codegen-Expression question needs the DECODE share of
+    // query time, not just the decode count): VByte block decode vs BM25
+    // contribution precompute vs TAAT accumulate vs top-k heap merge.
+    val decodeNanos = spark.sparkContext.longAccumulator("decode_nanos")
+    val contribNanos = spark.sparkContext.longAccumulator("contrib_nanos")
+    val scoreNanos = spark.sparkContext.longAccumulator("score_nanos")
+    val mergeNanos = spark.sparkContext.longAccumulator("merge_nanos")
+    // (query, bucket) evaluations skipped by the block-max bound carry
+    val bucketsSkipped = spark.sparkContext.longAccumulator("buckets_skipped")
     def sink(e: Wand.Effort): Unit = {
       wandCalls.add(1L)
       blocksTotal.add(e.blocksTotal)
@@ -44,7 +54,10 @@ object QueryEngine {
     }
     override def toString: String =
       s"wand_calls=${wandCalls.value} blocks_total=${blocksTotal.value} " +
-        s"blocks_decoded=${blocksDecoded.value} docs_scored=${docsScored.value}"
+        s"blocks_decoded=${blocksDecoded.value} docs_scored=${docsScored.value} " +
+        s"buckets_skipped=${bucketsSkipped.value} " +
+        s"decode_ms=${decodeNanos.value / 1000000} contrib_ms=${contribNanos.value / 1000000} " +
+        s"score_ms=${scoreNanos.value / 1000000} merge_ms=${mergeNanos.value / 1000000}"
   }
 
   /** Broadcast query plan (the "DTable" of the batch). */
@@ -86,6 +99,13 @@ object QueryEngine {
     private val stamp = new Array[Int](width)
     private val touched = new Array[Int](width)
     private var curStamp = 0
+    // reused primitive top-k buffers: the selection phase runs once per
+    // TOUCHED DOC (6.4e9 times in the 8M-doc/nq=1000 profile) — a
+    // Cand-allocating Vector insert there was 96% of query task time;
+    // a shift-insert over two reused arrays allocates nothing until the
+    // final k winners materialize
+    private val kScore = new Array[Long](k)
+    private val kIdx = new Array[Int](k)
 
     /** termLists: per term of this bucket, (docIdx within bucket, contribMicro). */
     def score(queryTerms: Seq[String],
@@ -104,13 +124,31 @@ object QueryEngine {
           }
         }
       }
-      var heap: Seq[TopK.Cand] = Vector.empty
+      // bounded selection under the frozen (score DESC, idx ASC) order —
+      // idx order == doc_id order within a bucket (doc_id = base + idx)
+      var kn = 0
       var j = 0
       while (j < nTouched) {
-        heap = TopK.insert(heap, TopK.Cand(touched(j).toLong, scores(touched(j))), k)
+        val ix = touched(j)
+        val s = scores(ix)
+        if (kn < k || s > kScore(kn - 1) ||
+            (s == kScore(kn - 1) && ix < kIdx(kn - 1))) {
+          // find insertion point (k is small; linear from the tail)
+          var pos = if (kn < k) kn else kn - 1
+          while (pos > 0 && (kScore(pos - 1) < s ||
+              (kScore(pos - 1) == s && kIdx(pos - 1) > ix))) {
+            if (pos < k) { kScore(pos) = kScore(pos - 1); kIdx(pos) = kIdx(pos - 1) }
+            pos -= 1
+          }
+          kScore(pos) = s; kIdx(pos) = ix
+          if (kn < k) kn += 1
+        }
         j += 1
       }
-      (heap, nTouched) // doc_id is the IN-BUCKET index; caller adds the base
+      val out = Vector.newBuilder[TopK.Cand]
+      var m = 0
+      while (m < kn) { out += TopK.Cand(kIdx(m).toLong, kScore(m)); m += 1 }
+      (out.result(), nTouched) // doc_id is the IN-BUCKET index; caller adds the base
     }
   }
 
@@ -344,11 +382,25 @@ object QueryEngine {
             .getOrElseUpdate(r.term, scala.collection.mutable.ArrayBuffer.empty) += r
         }
         val taat = new BucketTaat(w, p.k)
-        byBucket.iterator.flatMap { case (bucket, termRows) =>
+        val prof = effort.isDefined
+        // Per-task running top-k per query: the threshold CARRIES across
+        // this task's buckets, enabling the block-max skip below (phase
+        // profiling at 8M docs: TAAT accumulation was 96% of query task
+        // time; decode+contrib ~3%). Rank-identity is exact: a bucket is
+        // skipped only when its score upper bound is STRICTLY below the
+        // query's current k-th score, i.e. when every insert from it
+        // would provably no-op under the frozen (score DESC, doc_id ASC)
+        // order — the reference's block-max pruning argument
+        // (`src/index_ivf.cpp:220-234` partial_sort + threshold).
+        val heaps = scala.collection.mutable.HashMap.empty[Int, Seq[TopK.Cand]]
+        var decodeNs = 0L; var contribNs = 0L; var scoreNs = 0L
+        byBucket.foreach { case (bucket, termRows) =>
           val base = bucket.toLong * w
           // decode each term's postings ONCE; precompute micro-contribs
-          // ONCE, shared by every query using the term
+          // (and the term's max contrib = its block-max bound) ONCE,
+          // shared by every query using the term
           var bucketBlocks = 0L
+          val maxC = scala.collection.mutable.HashMap.empty[String, Long]
           val termLists: Map[String, (Array[Int], Array[Long])] =
             termRows.iterator.map { case (t, rows) =>
               val idf = p.termIdf(t)
@@ -356,18 +408,25 @@ object QueryEngine {
               val idxs = new Array[Int](n)
               val cs = new Array[Long](n)
               var o = 0
+              var mx = 0L
               rows.sortBy(_.min_doc).foreach { r =>
                 bucketBlocks += r.blocks.size
                 r.blocks.foreach { b =>
+                  val t0 = if (prof) System.nanoTime() else 0L
                   val (ds, tfs, dls) = Codec.decodeBlock(b)
+                  val t1 = if (prof) System.nanoTime() else 0L
                   var i = 0
                   while (i < ds.length) {
                     idxs(o) = (ds(i) - base).toInt
-                    cs(o) = Bm25.contribMicro(idf, tfs(i).toLong, dls(i).toLong, p.avgdl)
+                    val c = Bm25.contribMicro(idf, tfs(i).toLong, dls(i).toLong, p.avgdl)
+                    cs(o) = c
+                    if (c > mx) mx = c
                     o += 1; i += 1
                   }
+                  if (prof) { decodeNs += t1 - t0; contribNs += System.nanoTime() - t1 }
                 }
               }
+              maxC(t) = mx
               t -> (idxs, cs)
             }.toMap
           val queriesHere = termRows.keysIterator
@@ -378,18 +437,42 @@ object QueryEngine {
             a.blocksTotal.add(bucketBlocks * queriesHere.size)
             a.blocksDecoded.add(bucketBlocks)
           }
-          queriesHere.iterator.map { qid =>
-            val (cands, nTouched) = taat.score(p.queryTermSets(qid), termLists)
-            effort.foreach { a =>
-              a.wandCalls.add(1L); a.docsScored.add(nTouched.toLong)
+          queriesHere.foreach { qid =>
+            val heap = heaps.getOrElse(qid, Vector.empty)
+            var bound = 0L
+            p.queryTermSets(qid).foreach(t => bound += maxC.getOrElse(t, 0L))
+            if (heap.length == p.k && bound < heap.last.score_micro) {
+              effort.foreach(_.bucketsSkipped.add(1L)) // provably fruitless
+            } else {
+              val t0 = if (prof) System.nanoTime() else 0L
+              val (cands, nTouched) = taat.score(p.queryTermSets(qid), termLists)
+              effort.foreach { a =>
+                scoreNs += System.nanoTime() - t0
+                a.wandCalls.add(1L); a.docsScored.add(nTouched.toLong)
+              }
+              heaps(qid) = TopK.mergeTopK(heap,
+                cands.map(c => TopK.Cand(base + c.doc_id, c.score_micro)), p.k)
             }
-            (qid, cands.map(c => TopK.Cand(base + c.doc_id, c.score_micro)))
           }
         }
+        effort.foreach { a =>
+          a.decodeNanos.add(decodeNs); a.contribNanos.add(contribNs)
+          a.scoreNanos.add(scoreNs)
+        }
+        // one bounded partial per (task, query) — fewer merge rows than
+        // the per-bucket emission this replaces
+        heaps.iterator
       }
     partials
       .groupByKey(_._1)
-      .reduceGroups((a, b) => (a._1, TopK.mergeTopK(a._2, b._2, plan.k)))
+      .reduceGroups { (a: (Int, Seq[TopK.Cand]), b: (Int, Seq[TopK.Cand])) =>
+        if (effort.isDefined) {
+          val t0 = System.nanoTime()
+          val m = TopK.mergeTopK(a._2, b._2, plan.k)
+          effort.foreach(_.mergeNanos.add(System.nanoTime() - t0))
+          (a._1, m)
+        } else (a._1, TopK.mergeTopK(a._2, b._2, plan.k))
+      }
       .flatMap { case (qid, (_, cands)) =>
         cands.zipWithIndex.map { case (c, i) => Hit(qid, i + 1, c.doc_id, c.score_micro) }
       }
