@@ -142,10 +142,20 @@ object Bench {
       // Warmup: tiny build + one query batch, untimed (JIT/codegen/classes).
       IndexBuild.writeIndex(spark, base, warmDir, serveCfg)
       QueryEngine.runOnIndex(spark, warmDir, QuerySet.queryTerms).count()
-      // The serving-layout build doubles as the big-path warmup: the first
-      // full-size build in a fresh JVM pays all JIT/page-cache cost
-      // (measured ~2× the steady-state build); the metric is steady-state.
-      IndexBuild.writeIndex(spark, docs, serveDir, serveCfg)
+      // Big-path warmup at 1/8 scale: the first full-size build in a fresh
+      // JVM measured ~2× steady state (JIT tiers, page cache). This used
+      // to be a FULL serving-layout build; the serving index is now
+      // DERIVED from the timed term index below (a rebucket transform,
+      // bit-identical to a direct build — DiskIndexSpec), so the warmup
+      // only needs to exercise the timed build path, at an eighth of the
+      // cost. Saves ~a full tokenize pass per child.
+      val warmScale = math.max(1, scale / 8)
+      if (warmScale > 1) {
+        val warmDocs = scaleUp(base, warmScale, baseN, slices = 64,
+          baseBytes = baseRow.getLong(1))
+        fs.delete(new org.apache.hadoop.fs.Path(warmDir), true)
+        IndexBuild.writeIndex(spark, warmDocs, warmDir, cfg)
+      }
 
       // build metric: the north-rule TERM-partitioned index. Best-of-2
       // INSIDE the pinned JVM: co-tenant load on this shared host swings
@@ -158,6 +168,10 @@ object Bench {
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         timed(IndexBuild.writeIndex(spark, docs, dir, cfg))
       }.min
+
+      // Serving layout: derived from the LAST timed term build (no second
+      // corpus tokenize; round-3 VERDICT stretch item)
+      IndexBuild.deriveDocPartitioned(spark, dir, serveDir)
 
       val batch = queryBatch(nReps)
       // open ONCE, query many — the reference's LoadIndex-then-serve

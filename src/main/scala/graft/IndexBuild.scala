@@ -392,6 +392,52 @@ object IndexBuild {
       .as[PostingRow]
   }
 
+  /** Derive the DOC-partitioned SERVING layout from an existing
+    * TERM-partitioned index — a rebucket + remap transform of the built
+    * segments, NOT a rebuild (round-3 VERDICT stretch: the bench
+    * tokenized the corpus twice to build both layouts independently).
+    *
+    * Head-term rows are already docId-range-confined and pass through
+    * with their blocks untouched; only range-straddling rare rows decode,
+    * split and re-encode ([[QueryEngine.rebucketByRange]] streams them).
+    * Every posting then lands at part_id = bucket % P — exactly where the
+    * direct doc-partitioned build puts it, with the same deterministic
+    * [[Codec.encodeBlocks]] over the same sorted postings, so the derived
+    * index is posting-identical to a direct build (spec-asserted), at the
+    * cost of one segments pass instead of a corpus tokenize. */
+  def deriveDocPartitioned(spark: SparkSession, srcDir: String,
+                           outDir: String): Meta = {
+    import spark.implicits._
+    val srcMeta = readMeta(spark, srcDir)
+    require(!srcMeta.doc_partitioned,
+      s"$srcDir is already doc-partitioned — nothing to derive")
+    val p = srcMeta.num_partitions
+    Seq(s"$outDir/stats/meta", segmentsDir(outDir), manifestDir(outDir),
+      s"$outDir/stats").foreach { s =>
+      val hp = new org.apache.hadoop.fs.Path(s)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val derived = QueryEngine.rebucketByRange(readSegments(spark, srcDir),
+        srcMeta.bucket_width, srcMeta.block_size)
+      .map(r => r.copy(part_id = r.bucket % p))
+      .repartition(p, $"part_id")
+      .sortWithinPartitions($"term", $"bucket", $"min_doc")
+      .persist()
+    try {
+      derived.write.mode(SaveMode.Overwrite).partitionBy("part_id")
+        .parquet(segmentsDir(outDir))
+      termStatsFromPostings(derived.toDF())
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
+      derived.groupBy($"part_id")
+        .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
+      val meta = srcMeta.copy(doc_partitioned = true)
+      Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
+      meta
+    } finally { derived.unpersist(); () }
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
