@@ -537,8 +537,11 @@ object Bench {
     // per scale unit at timedReps=2, builder runs rounds 2-3) inflated by
     // the probe's contention factor, and shrink scale/timedReps BEFORE
     // the first pair when it would not fit its share.
+    // ~0.2 s of pair wall per scale unit at timedReps=2 (recalibrated
+    // after the round-4 serving-derivation change cut child cost ~3x:
+    // run-1 measured 235 s/pair at scale=1600, timedReps=1)
     val pairSecPerScale =
-      sys.env.getOrElse("SPARK_GRAFT_PAIR_SEC_PER_SCALE", "0.55").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_SEC_PER_SCALE", "0.2").toDouble
     if (probeT.contains(cpusLo) && probeT.contains(cpusHi)) {
       val contention = math.max(1.0, probeT(cpusHi) / probeT(cpusLo))
       val perPairBudget = budgetSec / outerReps
@@ -556,13 +559,24 @@ object Bench {
     def nPairs: Int = ok.groupBy(_._1).values
       .count(reps => reps.exists(_._2.cpus == cpusHi) && reps.exists(_._2.cpus == cpusLo))
     var rep = 0
+    var lastPairSec = Double.MaxValue
+    // Opportunistic extra pairs: once the planned outerReps pairs are in,
+    // keep alternating while the next pair (estimated from the last one,
+    // +15%) still fits inside 92% of the budget, up to maxReps. The
+    // paired-best estimator takes max over CLEAN pairs, so extra windows
+    // only ever help — each one is another chance to catch the host in a
+    // quiet moment (round-4: the serving derivation cut pairs to ~235 s,
+    // so a 2700 s budget fits ~8, not 3).
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "8").toInt
     // Continue past the budget (bounded at 1.25×, at minScale, one timed
     // rep) until at least TWO same-window pairs exist: a single pair is a
     // point estimate with no window-noise protection (round-2 postmortem),
     // and a minScale pair costs 1/16 of a planned one. The 1.25× cap
     // protects the artifact itself — a run the driver kills prints no
     // JSON at all (the file mirror below is the last resort).
-    while (rep < outerReps && (rep == 0 || nOk(cpusLo) == 0 || nOk(cpusHi) == 0 ||
+    def wantMore: Boolean = rep < outerReps ||
+      (rep < maxReps && nPairs >= 1 && elapsed + lastPairSec * 1.15 < budgetSec * 0.92)
+    while (wantMore && (rep == 0 || nOk(cpusLo) == 0 || nOk(cpusHi) == 0 ||
       elapsed < budgetSec || (nPairs < 2 && elapsed < budgetSec * 1.25))) {
       if (elapsed >= budgetSec) { curScale = minScale; curTimed = 1 }
       val repStart = elapsed
@@ -570,6 +584,7 @@ object Bench {
       attempt(cpusLo, rep, curScale, curTimed)
       writeJsonFile() // partial results survive a driver kill
       val pairSec = elapsed - repStart
+      lastPairSec = pairSec
       val repsLeft = outerReps - rep - 1
       if (repsLeft > 0) {
         val remaining = budgetSec - elapsed
