@@ -463,7 +463,32 @@ object QueryEngine {
         // the per-bucket emission this replaces
         heaps.iterator
       }
-    partials
+    // Final merge. The partials are BOUNDED: one row per (task, query),
+    // each ≤ k cands — at most shufflePartitions·nq·k candidate rows.
+    // When that fits comfortably on the driver, merge there: the
+    // distributed alternative is a whole extra shuffle + sort stage whose
+    // scheduling latency is pure FIXED cost (~1s), which the fast
+    // parallelism point pays 4× more dearly — it was the main structural
+    // drag on the measured query scaling efficiency. The merged top-k SET
+    // is unique under the frozen total order, so merge order (driver or
+    // tree) cannot change results. Above the cap (10^5 tasks at web
+    // scale), the distributed treeReduce path serves unchanged.
+    val shufP = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(200)
+    val estPartialCands = shufP.toLong * plan.queryTermSets.size * plan.k
+    if (estPartialCands <= DriverMergeMaxCands) {
+      val t0 = System.nanoTime()
+      val byQ = scala.collection.mutable.HashMap.empty[Int, Seq[TopK.Cand]]
+      partials.collect().foreach { case (qid, cands) =>
+        byQ(qid) = TopK.mergeTopK(byQ.getOrElse(qid, Vector.empty), cands, plan.k)
+      }
+      effort.foreach(_.mergeNanos.add(System.nanoTime() - t0))
+      val hits = byQ.toSeq.sortBy(_._1).flatMap { case (qid, cands) =>
+        cands.zipWithIndex.map { case (c, i) => Hit(qid, i + 1, c.doc_id, c.score_micro) }
+      }
+      spark.createDataset(hits).toDF()
+        .select($"query_id", $"rank", $"doc_id", $"score_micro")
+    } else partials
       .groupByKey(_._1)
       .reduceGroups { (a: (Int, Seq[TopK.Cand]), b: (Int, Seq[TopK.Cand])) =>
         if (effort.isDefined) {
@@ -480,6 +505,11 @@ object QueryEngine {
       .select($"query_id", $"rank", $"doc_id", $"score_micro")
       .orderBy($"query_id", $"rank")
   }
+
+  /** Driver-merge ceiling for the batched scorer's final stage: the
+    * collect is O(tasks·nq·k) bounded rows (~50 MB at the cap), NOT a
+    * distributed-work collect. */
+  val DriverMergeMaxCands: Long = 1L << 20
 
   /** End-to-end: query a disk index. Doc-partitioned indexes use the
     * batched zero-duplication path; term-partitioned ones the pruned

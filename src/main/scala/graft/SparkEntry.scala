@@ -103,6 +103,10 @@ object SparkEntry {
     // (the cross-join sibling above is its small-scale recall oracle)
     "q_dedup_embedding_lsh" -> ((s, dir) =>
       extra.Dedup.embeddingDupLsh(s, embeddings(s, dir))),
+    // pairs -> connected components -> canonical survivor per cluster
+    // (min id): the last stage of the dedup pipeline
+    "q_dedup_clusters" -> ((s, dir) =>
+      extra.Dedup.dupClusters(s, extra.Dedup.embeddingDup(embeddings(s, dir)))),
     // --- similarity search over embeddings -------------------------------
     "q_ann_brute" -> ((s, dir) => extra.Ann.bruteTopk(embeddings(s, dir))),
     // full probe ⇒ provably identical to brute force (oracle-checked);
@@ -193,6 +197,7 @@ object SparkEntry {
     "q_dedup_ngram"     -> extra.OracleSqlExtra.ngramJaccardSql(),
     "q_dedup_embedding" -> extra.OracleSqlExtra.embeddingDupSql(),
     "q_dedup_embedding_lsh" -> extra.OracleSqlExtra.embeddingDupLshSql(),
+    "q_dedup_clusters" -> extra.OracleSqlExtra.dupClustersSql(),
     "q_ann_brute"       -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_ivf"         -> extra.OracleSqlExtra.annBruteSql(),
     "q_ann_kmeans_ivf"  -> extra.OracleSqlExtra.annBruteSql(),

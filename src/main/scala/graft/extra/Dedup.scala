@@ -184,6 +184,42 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Connected components over near-dup pairs → (vec_id, cluster_id)
+    * with cluster_id = the component's MINIMUM member id, i.e. the
+    * canonical survivor — the last stage of a dedup pipeline: pairs →
+    * components → keep one doc per component (composes with
+    * [[embeddingDup]]/[[embeddingDupLsh]]/[[minhashLsh]] pair sources).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min label among itself and its neighbors — one shuffled join + agg
+    * over the PAIRS table (never the corpus), `localCheckpoint` cutting
+    * the lineage so plans stay flat. Converges in ≤ graph-diameter
+    * rounds; near-dup components are short-diameter in practice (dup
+    * clusters are near-cliques), and an adversarial long-chain graph
+    * degrades to O(D) rounds, not incorrectness — at that point switch
+    * to pointer-doubling (large-star/small-star). Deterministic. */
+  def dupClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, $"dst" === $"id")
+        .groupBy($"src").agg(min($"label").as("nl"))
+      val next = labels.join(prop, $"id" === $"src", "left")
+        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
+        .where($"n.label" =!= $"o.label").count()
+      labels = next
+    }
+    labels.select($"id".as("vec_id"), $"label".as("cluster_id"))
+      .orderBy($"vec_id")
+  }
+
   // ---- banded sign-random-projection (SRP) LSH for embeddings ----------
   /** b bands × r planes each — the SAME banded structure as
     * [[minhashLsh]], which is what makes this a scale path (round-2

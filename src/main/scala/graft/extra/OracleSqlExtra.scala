@@ -107,6 +107,27 @@ object OracleSqlExtra {
        |SELECT vec_a, vec_b, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS cos_micro
        |FROM p WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Mirror of [[Dedup.dupClusters]] over the exact embedding near-dup
+    * pairs: recursive transitive closure, component id = min reachable
+    * vertex (the same canonical-survivor semantics as the min-label
+    * propagation fixpoint). */
+  def dupClustersSql(threshold: Double = 0.4): String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${cosExpr("a.embedding", "b.embedding")} AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |), e AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM p WHERE cos >= $threshold
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS dst FROM p WHERE cos >= $threshold
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+       |)
+       |SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY vec_id""".stripMargin
+
   /** Mirror of [[Dedup.embeddingDupLsh]] (banded SRP): the hyperplanes
     * are FROZEN data ([[Dedup.dupPlanes]], seeded) — they embed as
     * literals with band = p / r and bit = p % r, the dot folds

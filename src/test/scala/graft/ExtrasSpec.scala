@@ -52,6 +52,17 @@ class ExtrasSpec extends AnyFunSuite {
     assert(pairs64.get((1L, 2L)).contains(1000000L))
   }
 
+  test("dup clusters: connected components, min-id survivor; long chain converges") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 => several propagation rounds) + a
+    // separate component + a redundant shortcut edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (2L, 4L)).toDF("vec_a", "vec_b")
+    val got = Dedup.dupClusters(spark, pairs).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)))
+  }
+
   test("simhash: identical docs identical hash; near-dup low hamming; unrelated high") {
     import spark.implicits._
     val df = Seq(
