@@ -477,9 +477,10 @@ object QueryEngine {
       .map(_.toInt).getOrElse(200)
     val estPartialCands = shufP.toLong * plan.queryTermSets.size * plan.k
     if (estPartialCands <= DriverMergeMaxCands) {
+      val collected = partials.collect() // the scoring job itself
       val t0 = System.nanoTime()
       val byQ = scala.collection.mutable.HashMap.empty[Int, Seq[TopK.Cand]]
-      partials.collect().foreach { case (qid, cands) =>
+      collected.foreach { case (qid, cands) =>
         byQ(qid) = TopK.mergeTopK(byQ.getOrElse(qid, Vector.empty), cands, plan.k)
       }
       effort.foreach(_.mergeNanos.add(System.nanoTime() - t0))
