@@ -64,6 +64,20 @@ object Bench {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_LOG"))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo; val m = si.taskMetrics
+          val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+            yield a - b).getOrElse(0L)
+          System.err.println(
+            f"[stage] ${si.stageId}%3d wall=${wall / 1e3}%6.2fs tasks=${si.numTasks}%3d " +
+            f"run=${m.executorRunTime / 1e3}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs " +
+            f"gc=${m.jvmGCTime / 1e3}%5.1fs shW=${m.shuffleWriteMetrics.bytesWritten >> 20}%5dMB " +
+            f"shR=${m.shuffleReadMetrics.totalBytesRead >> 20}%5dMB ${si.name.take(60)}")
+        }
+      })
     s
   }
 
@@ -357,6 +371,14 @@ object Bench {
         }.mkString(",")
         println(f"""{"profile":"query-phase","cpus":${c.toInt},"scale":${sc.toInt},"nq":${batch.size},"clean_sec":$clean%.3f,"profiled_sec":$prof%.3f,$parts,"effort":"$accs"}""")
       } finally spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("spawn")) {
+      // diagnostic: ONE pinned child (same taskset+GC flags as a real
+      // bench run), phase/stage logs land in target/bench-child-c<n>.err
+      val Array(_, c, sc, tr) = args
+      println(spawnPoint(c.toInt, sfDir, sc.toInt, nReps, tr.toInt))
       return
     }
 

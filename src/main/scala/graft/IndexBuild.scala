@@ -97,21 +97,14 @@ object IndexBuild {
                       headTerms: Set[String], cfg: Config): Dataset[PostingRow] = {
     import spark.implicits._
     val headsBc = spark.sparkContext.broadcast(headTerms)
-    val docPart = cfg.docPartitioned
-    val width = cfg.bucketWidth
-    val p = cfg.numPartitions
-    val blockSize = cfg.blockSize
+    val cfgV = cfg
     tf.select($"doc_id", $"term", $"tf", $"dl").as[(Long, String, Long, Long)]
       .mapPartitions { it =>
-        val heads = headsBc.value
-        val acc = scala.collection.mutable.HashMap
-          .empty[(String, Int), ArrayBuffer[(Long, Int, Int)]]
+        val acc = new PartialAcc(headsBc.value, cfgV)
         it.foreach { case (d, t, tfv, dlv) =>
-          val bucket = if (docPart || heads.contains(t)) (d / width).toInt else 0
-          acc.getOrElseUpdate((t, bucket), new ArrayBuffer[(Long, Int, Int)]()) +=
-            ((d, tfv.toInt, dlv.toInt))
+          acc.add(t, d, tfv.toInt, dlv.toInt); acc.maybeFlush()
         }
-        emitPartials(acc, docPart, p, blockSize)
+        acc.finish()
       }
   }
 
@@ -130,43 +123,282 @@ object IndexBuild {
                               headTerms: Set[String], cfg: Config): Dataset[PostingRow] = {
     import spark.implicits._
     val headsBc = spark.sparkContext.broadcast(headTerms)
-    val docPart = cfg.docPartitioned
-    val width = cfg.bucketWidth
-    val p = cfg.numPartitions
-    val blockSize = cfg.blockSize
+    val cfgV = cfg
     docs.select($"doc_id", $"text")
       .as[(Long, String)]
       .mapPartitions { it =>
-        val heads = headsBc.value
-        val acc = scala.collection.mutable.HashMap
-          .empty[(String, Int), ArrayBuffer[(Long, Int, Int)]]
-        val m = new scala.collection.mutable.HashMap[String, Int]()
-        it.foreach { case (d, text) =>
-          val toks = Tokenize.tokenizeArray(text)
-          val dl = toks.length
-          m.clear()
-          toks.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
-          m.foreach { case (t, tfv) =>
-            val bucket = if (docPart || heads.contains(t)) (d / width).toInt else 0
-            acc.getOrElseUpdate((t, bucket), new ArrayBuffer[(Long, Int, Int)]()) +=
-              ((d, tfv, dl))
-          }
+        val acc = new PartialAcc(headsBc.value, cfgV)
+        // One append per OCCURRENCE (tf=1); equal-doc runs are summed at
+        // emit. Tokenization is the two-pass allocation-free scan: pass 1
+        // counts dl, pass 2 appends each token by char range — the only
+        // per-document allocation left is the lowercased text itself.
+        val sink = new Tokenize.TokenSink {
+          var doc = 0L
+          var dl = 0
+          def token(lower: String, start: Int, end: Int, hash: Int): Unit =
+            acc.addOccurrence(lower, start, end, hash, doc, dl)
         }
-        emitPartials(acc, docPart, p, blockSize)
+        it.foreach { case (d, text) =>
+          val lower = text.toLowerCase
+          sink.doc = d
+          sink.dl = Tokenize.countTokens(lower)
+          Tokenize.scanTokens(lower, sink)
+          acc.maybeFlush()
+        }
+        acc.finish()
       }
   }
 
-  private def emitPartials(
-      acc: scala.collection.mutable.HashMap[(String, Int), ArrayBuffer[(Long, Int, Int)]],
-      docPart: Boolean, p: Int, blockSize: Int): Iterator[PostingRow] =
-    acc.iterator.map { case ((t, bucket), buf) =>
-      val s = buf.sortInPlace()(Ordering.by(_._1))
-      val partId = if (docPart) bucket % p else partIdOf(t, bucket, p)
-      var cf = 0L; s.foreach(cf += _._2)
-      PostingRow(partId, t, bucket, s.length.toLong, cf, s.head._1,
-        Codec.encodeBlocks(s.map(_._1).toArray, s.map(_._2).toArray,
-          s.map(_._3).toArray, blockSize))
+  /** Flush threshold for [[PartialAcc]]: total buffered postings per task
+    * before an early emit. Bounds task live memory at ~16 B × this (plus
+    * the emitted compressed rows) REGARDLESS of partition size — the
+    * property that lets one map task tokenize an arbitrarily large input
+    * split at web scale. Each flush starts new partial runs for the same
+    * (term, bucket) keys; [[mergePartials]] already merges k runs. */
+  val FlushEntries: Long = 4L * 1000 * 1000
+
+  /** Map-side posting accumulator: per-term growable PRIMITIVE column
+    * buffers (doc, tf, dl) — no per-posting objects. The round-3 shape
+    * (HashMap[(term,bucket), ArrayBuffer[(Long,Int,Int)]]) allocated one
+    * boxed tuple per posting and promoted whole ArrayBuffers to the old
+    * generation; at 8M docs the build's map stage spent 58% of executor
+    * time in GC (run=425s cpu=170s gc=245s). Bucketing happens at EMIT
+    * (bucket = doc/width is derivable), so append is three array writes
+    * and one string-keyed map lookup. */
+  private[graft] final class PartialAcc(heads: Set[String], cfg: Config) {
+    private val acc = new TermMap()
+    private val out = new ArrayBuffer[PostingRow]()
+    private var entries = 0L
+
+    def add(t: String, d: Long, tf: Int, dl: Int): Unit = {
+      acc.lookup(t, 0, t.length, t.hashCode).add(d, tf, dl)
+      entries += 1
     }
+
+    /** Occurrence append straight from a token's char range — the term
+      * String is allocated only the FIRST time this task sees it
+      * (interned inside [[TermMap]]); every later occurrence is a probe +
+      * three primitive array writes. */
+    def addOccurrence(lower: String, start: Int, end: Int, hash: Int,
+                      d: Long, dl: Int): Unit = {
+      acc.lookup(lower, start, end, hash).add(d, 1, dl)
+      entries += 1
+    }
+
+    /** Flush checkpoint — call only at a COMPLETE-unit boundary (after a
+      * whole document in the occurrence path; after a row in the tf-row
+      * path). Flushing mid-document would split one doc's occurrences
+      * across partial runs, and the reduce merge concatenates runs
+      * without re-summing equal docs. */
+    def maybeFlush(): Unit = if (entries >= FlushEntries) flush()
+
+    private def flush(): Unit = {
+      acc.foreachEntry((t, buf) => emitBuf(t, buf, heads, cfg, out))
+      acc.clear()
+      entries = 0
+    }
+
+    def finish(): Iterator[PostingRow] = { flush(); out.iterator }
+  }
+
+  /** Open-addressed term → [[PostingBuf]] map with REGION lookup: probes
+    * with a (string, start, end, hash) view so the hot path never
+    * allocates a key String for a term it has already seen. `hash` must
+    * equal `lower.substring(start, end).hashCode` ([[Tokenize.scanTokens]]
+    * computes exactly that incrementally). Linear probing, power-of-two
+    * capacity, load factor 0.75. */
+  private[graft] final class TermMap {
+    private var cap = 1 << 10
+    private var mask = cap - 1
+    private var keys = new Array[String](cap)
+    private var vals = new Array[PostingBuf](cap)
+    private var used = 0
+
+    def lookup(s: String, start: Int, end: Int, hash: Int): PostingBuf = {
+      var i = hash & mask
+      while (true) {
+        val k = keys(i)
+        if (k == null) {
+          val t = s.substring(start, end)
+          val buf = new PostingBuf()
+          keys(i) = t; vals(i) = buf; used += 1
+          if (used * 4 > cap * 3) rehash()
+          return buf
+        } else if (k.length == end - start && s.startsWith(k, start)) {
+          return vals(i)
+        }
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    }
+
+    private def rehash(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1; mask = cap - 1
+      keys = new Array[String](cap)
+      vals = new Array[PostingBuf](cap)
+      var j = 0
+      while (j < ok.length) {
+        val k = ok(j)
+        if (k != null) {
+          var i = k.hashCode & mask
+          while (keys(i) != null) i = (i + 1) & mask
+          keys(i) = k; vals(i) = ov(j)
+        }
+        j += 1
+      }
+    }
+
+    def foreachEntry(f: (String, PostingBuf) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (keys(i) != null) f(keys(i), vals(i))
+        i += 1
+      }
+    }
+
+    def clear(): Unit = {
+      java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], null)
+      used = 0
+    }
+  }
+
+  /** Emit one term's buffered postings as PostingRows: sort by doc if the
+    * input order wasn't monotonic (a no-op for sequential corpus scans),
+    * sum tf over equal-doc runs (occurrence-level appends; equal docs have
+    * equal dl by construction, and index merges require disjoint doc sets,
+    * so summing never crosses documents), then cut rows at bucket
+    * boundaries. */
+  private def emitBuf(t: String, buf: PostingBuf, heads: Set[String],
+                      cfg: Config, out: ArrayBuffer[PostingRow]): Unit = {
+    if (buf.n == 0) return
+    buf.sortIfNeeded()
+    val m = buf.mergeEqualDocs()
+    val bucketed = cfg.docPartitioned || heads.contains(t)
+    val width = cfg.bucketWidth
+    var i = 0
+    while (i < m) {
+      val b = if (bucketed) (buf.docs(i) / width).toInt else 0
+      var j = i + 1
+      if (bucketed) {
+        while (j < m && (buf.docs(j) / width).toInt == b) j += 1
+      } else j = m
+      val ds = java.util.Arrays.copyOfRange(buf.docs, i, j)
+      val ts = java.util.Arrays.copyOfRange(buf.tfs, i, j)
+      val ls = java.util.Arrays.copyOfRange(buf.dls, i, j)
+      var cf = 0L
+      var k = 0
+      while (k < ts.length) { cf += ts(k); k += 1 }
+      val partId = if (cfg.docPartitioned) b % cfg.numPartitions
+                   else partIdOf(t, b, cfg.numPartitions)
+      out += PostingRow(partId, t, b, ds.length.toLong, cf, ds(0),
+        Codec.encodeBlocks(ds, ts, ls, cfg.blockSize))
+      i = j
+    }
+  }
+
+  /** Growable struct-of-arrays posting buffer (doc, tf, dl) with an
+    * append-order monotonicity check and an in-place 3-way quicksort by
+    * doc (fat-pivot: occurrence appends produce long equal-doc runs).
+    * Equal-doc ORDER is irrelevant: tf summing is commutative and dl is a
+    * per-doc constant, so sort-by-doc-alone is output-deterministic. */
+  private[graft] final class PostingBuf {
+    var docs = new Array[Long](16)
+    var tfs = new Array[Int](16)
+    var dls = new Array[Int](16)
+    var n = 0
+    private var lastDoc = Long.MinValue
+    private var needSort = false
+
+    def add(d: Long, tf: Int, dl: Int): Unit = {
+      if (n == docs.length) grow(n + 1)
+      docs(n) = d; tfs(n) = tf; dls(n) = dl; n += 1
+      if (d < lastDoc) needSort = true else lastDoc = d
+    }
+
+    def bulkAdd(ds: Array[Long], ts: Array[Int], ls: Array[Int]): Unit = {
+      if (ds.length == 0) return
+      if (n + ds.length > docs.length) grow(n + ds.length)
+      System.arraycopy(ds, 0, docs, n, ds.length)
+      System.arraycopy(ts, 0, tfs, n, ds.length)
+      System.arraycopy(ls, 0, dls, n, ds.length)
+      var i = 0
+      while (i < ds.length) {
+        if (ds(i) < lastDoc) needSort = true else lastDoc = ds(i)
+        i += 1
+      }
+      n += ds.length
+    }
+
+    private def grow(min: Int): Unit = {
+      var c = docs.length << 1
+      while (c < min) c <<= 1
+      docs = java.util.Arrays.copyOf(docs, c)
+      tfs = java.util.Arrays.copyOf(tfs, c)
+      dls = java.util.Arrays.copyOf(dls, c)
+    }
+
+    def sortIfNeeded(): Unit = if (needSort) { qsort(0, n - 1); needSort = false }
+
+    /** Collapse equal-doc runs in place: tf ← Σ tf, dl kept (equal by
+      * construction). Returns the merged length. */
+    def mergeEqualDocs(): Int = {
+      var w = 0
+      var i = 0
+      while (i < n) {
+        val d = docs(i)
+        var tf = tfs(i)
+        val dl = dls(i)
+        i += 1
+        while (i < n && docs(i) == d) { tf += tfs(i); i += 1 }
+        docs(w) = d; tfs(w) = tf; dls(w) = dl; w += 1
+      }
+      w
+    }
+
+    private def swap(i: Int, j: Int): Unit = {
+      val d = docs(i); docs(i) = docs(j); docs(j) = d
+      val t = tfs(i); tfs(i) = tfs(j); tfs(j) = t
+      val l = dls(i); dls(i) = dls(j); dls(j) = l
+    }
+
+    private def qsort(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0
+      var hi = hi0
+      while (hi - lo > 16) {
+        // median-of-three pivot
+        val mid = lo + ((hi - lo) >>> 1)
+        if (docs(mid) < docs(lo)) swap(lo, mid)
+        if (docs(hi) < docs(lo)) swap(lo, hi)
+        if (docs(hi) < docs(mid)) swap(mid, hi)
+        val pivot = docs(mid)
+        // 3-way (Dutch-flag) partition on doc
+        var lt = lo; var i = lo; var gt = hi
+        while (i <= gt) {
+          val d = docs(i)
+          if (d < pivot) { swap(lt, i); lt += 1; i += 1 }
+          else if (d > pivot) { swap(i, gt); gt -= 1 }
+          else i += 1
+        }
+        // recurse into the smaller side, loop on the larger
+        if (lt - lo < hi - gt) { qsort(lo, lt - 1); lo = gt + 1 }
+        else { qsort(gt + 1, hi); hi = lt - 1 }
+      }
+      // insertion sort for small ranges
+      var i = lo + 1
+      while (i <= hi) {
+        val d = docs(i); val t = tfs(i); val l = dls(i)
+        var j = i - 1
+        while (j >= lo && docs(j) > d) {
+          docs(j + 1) = docs(j); tfs(j + 1) = tfs(j); dls(j + 1) = dls(j)
+          j -= 1
+        }
+        docs(j + 1) = d; tfs(j + 1) = t; dls(j + 1) = l
+        i += 1
+      }
+    }
+  }
 
   /** Reduce-side merge of partial posting rows (clustered by
     * (term, bucket)): k sorted runs → one sorted list → final blocks.
@@ -178,21 +410,25 @@ object IndexBuild {
       def hasNext: Boolean = it.hasNext
       def next(): PostingRow = {
         val head = it.head
-        val all = new ArrayBuffer[(Long, Int, Int)]()
+        val buf = new PostingBuf()
         var cf = 0L
         while (it.hasNext && it.head.term == head.term && it.head.bucket == head.bucket) {
           val row = it.next()
           cf += row.cf
+          // runs arrive ordered by min_doc and cover disjoint doc ranges
+          // when the map side scanned docs sequentially — bulkAdd detects
+          // monotonic concatenation and the sort below becomes a no-op
           row.blocks.foreach { b =>
             val (ds, ts, ls) = Codec.decodeBlock(b)
-            var i = 0
-            while (i < ds.length) { all += ((ds(i), ts(i), ls(i))); i += 1 }
+            buf.bulkAdd(ds, ts, ls)
           }
         }
-        val s = all.sortInPlace()(Ordering.by(_._1))
-        PostingRow(head.part_id, head.term, head.bucket, s.length.toLong, cf, s.head._1,
-          Codec.encodeBlocks(s.map(_._1).toArray, s.map(_._2).toArray,
-            s.map(_._3).toArray, blockSize))
+        buf.sortIfNeeded()
+        PostingRow(head.part_id, head.term, head.bucket, buf.n.toLong, cf,
+          buf.docs(0),
+          Codec.encodeBlocks(java.util.Arrays.copyOf(buf.docs, buf.n),
+            java.util.Arrays.copyOf(buf.tfs, buf.n),
+            java.util.Arrays.copyOf(buf.dls, buf.n), blockSize))
       }
     }
 
@@ -286,11 +522,16 @@ object IndexBuild {
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
         }
 
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def phase[T](name: String)(body: => T): T = {
-      val t = System.nanoTime()
+      val t = System.nanoTime(); val g = gcMs
       val r = body
       if (sys.env.contains("SPARK_GRAFT_LOG"))
-        System.err.println(f"[build-phase] $name ${(System.nanoTime() - t) / 1e9}%.2fs")
+        System.err.println(f"[build-phase] $name ${(System.nanoTime() - t) / 1e9}%.2fs gc=${gcMs - g}ms")
       r
     }
     // ONE full tokenize pass over the corpus (the fused partials job).

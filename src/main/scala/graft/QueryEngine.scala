@@ -355,7 +355,8 @@ object QueryEngine {
     * order. */
   def runDocPartitioned(spark: SparkSession, postings: Dataset[PostingRow],
                         plan: Plan, effort: Option[EffortAccs] = None,
-                        preFiltered: Boolean = false): DataFrame = {
+                        preFiltered: Boolean = false,
+                        bucketLocal: Boolean = false): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(plan)
     val terms = plan.termToQueries.keys.toSeq
@@ -364,12 +365,17 @@ object QueryEngine {
     // preFiltered: caller already restricted to the batch's terms (the
     // head-heavy rebucket path) — don't plan a second semi-join stage
     val filtered = if (preFiltered) postings else whereTerms(postings, terms)
-    val partials: Dataset[(Int, Seq[TopK.Cand])] = filtered
+    // bucketLocal: the caller guarantees every bucket's rows are already
+    // co-located in one input partition (the handle's cached serving
+    // layout) — the repartition below would be a pure re-shuffle of the
+    // same grouping, paid once per BATCH.
+    val spread = if (bucketLocal) filtered else
       // The pruned posting set is compact parquet — a plain scan packs it
       // into very few input splits (maxPartitionBytes), serializing the
       // scoring work. Spread buckets across the cluster; the shuffle moves
       // only the pruned, compressed lists.
-      .repartition($"bucket")
+      filtered.repartition($"bucket")
+    val partials: Dataset[(Int, Seq[TopK.Cand])] = spread
       .mapPartitions { it =>
         val p = bc.value
         val w = p.bucketWidth.toInt
@@ -524,18 +530,44 @@ object QueryEngine {
     * their own term-stats lookup + the scoring job. */
   final case class IndexHandle(dir: String, meta: IndexBuild.Meta,
                                segments: Dataset[PostingRow],
-                               stats: DataFrame)
+                               stats: DataFrame,
+                               served: Option[Dataset[PostingRow]] = None) {
+    /** Release the cached serving layout (no-op for uncached handles). */
+    def close(): Unit = served.foreach(_.unpersist())
+  }
 
-  def openIndex(spark: SparkSession, dir: String): IndexHandle =
-    IndexHandle(dir, IndexBuild.readMeta(spark, dir),
-      IndexBuild.readSegments(spark, dir),
-      spark.read.parquet(s"$dir/stats/terms"))
+  /** Open an index for querying. For a DOC-partitioned serving index the
+    * handle caches the bucket-partitioned posting layout in executor
+    * memory (spilling to disk) — the reference's LoadIndex-into-RAM
+    * serving shape (`src/index_ivfpq.cpp:326-348`): the first batch pays
+    * one scan+shuffle to materialize it; every later batch scores
+    * straight from the cache. Without this, EVERY batch re-paid a full
+    * scan + shuffle of the batch's posting mass (at bench scale: 627 MB
+    * and the single worst-scaling stage of the whole query path, since
+    * its cost is mostly fixed I/O wait, which the high-parallelism point
+    * cannot speed up). Callers that query once should pass
+    * `cacheServing = false`. */
+  def openIndex(spark: SparkSession, dir: String,
+                cacheServing: Boolean = true): IndexHandle = {
+    val meta = IndexBuild.readMeta(spark, dir)
+    val segments = IndexBuild.readSegments(spark, dir)
+    val served =
+      if (cacheServing && meta.doc_partitioned)
+        Some(segments.repartition(org.apache.spark.sql.functions.col("bucket"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    IndexHandle(dir, meta, segments, spark.read.parquet(s"$dir/stats/terms"),
+      served)
+  }
 
   def runOnIndex(spark: SparkSession, dir: String,
                  queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
                  k: Int = QuerySet.K,
                  effort: Option[EffortAccs] = None): DataFrame =
-    runOnHandle(spark, openIndex(spark, dir), queries, k, effort)
+    // query-once entry point: a serving cache would never be reused (and
+    // never released) — open uncached
+    runOnHandle(spark, openIndex(spark, dir, cacheServing = false),
+      queries, k, effort)
 
   /** One query batch against an opened index (load once, query many —
     * the reference's test-harness shape). */
@@ -557,7 +589,12 @@ object QueryEngine {
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
     val p = plan(cs, termDf, queries, k).copy(bucketWidth = meta.bucket_width)
     if (meta.doc_partitioned)
-      runDocPartitioned(spark, h.segments, p, effort)
+      h.served match {
+        case Some(cached) =>
+          runDocPartitioned(spark, cached, p, effort, bucketLocal = true)
+        case None =>
+          runDocPartitioned(spark, h.segments, p, effort)
+      }
     else {
       prunedPartIds(spark, meta, termMaxBucket, queries) match {
         // few candidate pairs → exact partition pruning + per-query WAND

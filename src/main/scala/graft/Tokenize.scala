@@ -33,4 +33,78 @@ object Tokenize {
     * [[tokensCol]] is spec-asserted on the driver corpora. */
   def tokenizeArray(text: String): Array[String] =
     splitPattern.split(text.toLowerCase).filter(_.nonEmpty)
+
+  /** Receiver for [[scanTokens]] — a trait (not a Function3) so the
+    * per-token call passes primitive ints unboxed. */
+  trait TokenSink {
+    /** One token = `lower.substring(start, end)`; `hash` equals that
+      * substring's `String.hashCode`. */
+    def token(lower: String, start: Int, end: Int, hash: Int): Unit
+  }
+
+  /** `\p{L}\p{N}` code-point class of [[SplitRegex]], evaluated directly:
+    * the five letter categories (== `Character.isLetter`) plus the three
+    * number categories (Nd, Nl, No — wider than `isDigit`, which is Nd
+    * only). Spec-pinned equal to the regex path (TokenizeSpec property
+    * test over Unicode strings incl. supplementary planes). */
+  @inline private def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** Token count of an ALREADY-LOWERCASED string — one classification
+    * pass, zero allocation. Equals `tokenizeArray(text).length` when
+    * `lower == text.toLowerCase`. */
+  def countTokens(lower: String): Int = {
+    var i = 0
+    var n = 0
+    var in = false
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      var cp: Int = c
+      var w = 1
+      if (Character.isHighSurrogate(c) && i + 1 < lower.length &&
+          Character.isLowSurrogate(lower.charAt(i + 1))) {
+        cp = Character.toCodePoint(c, lower.charAt(i + 1)); w = 2
+      }
+      if (isWordCp(cp)) { if (!in) { n += 1; in = true } }
+      else in = false
+      i += w
+    }
+    n
+  }
+
+  /** Allocation-free tokenizer drive over an ALREADY-LOWERCASED string:
+    * emits each token's [start, end) char range and its String-compatible
+    * hash to `sink` — no substring, no split array. This is the hot-path
+    * sibling of [[tokenizeArray]]: the regex-split path allocates ~3
+    * arrays + one String per token (the dominant allocation source of
+    * the index build's map stage); this allocates nothing. Bit-parity
+    * with the regex path is spec-pinned (TokenizeSpec). */
+  def scanTokens(lower: String, sink: TokenSink): Unit = {
+    var i = 0
+    var start = -1
+    var h = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      var cp: Int = c
+      var w = 1
+      if (Character.isHighSurrogate(c) && i + 1 < lower.length &&
+          Character.isLowSurrogate(lower.charAt(i + 1))) {
+        cp = Character.toCodePoint(c, lower.charAt(i + 1)); w = 2
+      }
+      if (isWordCp(cp)) {
+        if (start < 0) { start = i; h = 0 }
+        h = 31 * h + c
+        if (w == 2) h = 31 * h + lower.charAt(i + 1)
+      } else if (start >= 0) {
+        sink.token(lower, start, i, h)
+        start = -1
+      }
+      i += w
+    }
+    if (start >= 0) sink.token(lower, start, lower.length, h)
+  }
 }

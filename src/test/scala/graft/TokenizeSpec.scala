@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Arbitrary, Gen, Prop, Test => SCTest}
+
+/** Parity of the allocation-free tokenizer scan ([[Tokenize.scanTokens]] /
+  * [[Tokenize.countTokens]]) with the frozen regex definition
+  * ([[Tokenize.tokenizeArray]]) — the scan replaces the regex in the
+  * index build's fused map pass, so any divergence would silently change
+  * every index. Property-tested over adversarial Unicode including
+  * supplementary-plane code points, lone surrogates, and Nl/No number
+  * categories the `isDigit` shortcut would miss. */
+class TokenizeSpec extends AnyFunSuite {
+
+  private def viaScan(text: String): (Seq[String], Int) = {
+    val lower = text.toLowerCase
+    val out = Seq.newBuilder[String]
+    Tokenize.scanTokens(lower, new Tokenize.TokenSink {
+      def token(l: String, s: Int, e: Int, h: Int): Unit = {
+        val t = l.substring(s, e)
+        assert(h == t.hashCode, s"hash mismatch for token '$t'")
+        out += t
+      }
+    })
+    (out.result(), Tokenize.countTokens(lower))
+  }
+
+  private def checkParity(text: String): Unit = {
+    val expected = Tokenize.tokenizeArray(text).toSeq
+    val (got, n) = viaScan(text)
+    assert(got == expected, s"scan tokens diverge for ${text.take(80)}")
+    assert(n == expected.length, s"countTokens diverges for ${text.take(80)}")
+  }
+
+  test("parity on hand-picked edges") {
+    Seq(
+      "", "...", "The  quick,brown fox! 42", "a", " a ", "7seven 7",
+      "ünïcödé Straße ĲSSELMEER", // sharp-s lowercasing changes length
+      "İstanbul İ", // dotted capital I → i + combining dot
+      "Ⅻ rome Ⅻ", // Nl LETTER_NUMBER (not isDigit)
+      "½ and ¾ halves", // No OTHER_NUMBER
+      "𝐀math𝐚bold", // supplementary-plane letters
+      "😀 emoji 😀 gap", // supplementary non-letters
+      "𝟎 zero 𝟏", // MATHEMATICAL BOLD DIGITs (Nd, supplementary)
+      "lone\uD800surrogate", "tail\uDC00low", "\uD800", "\uDC00",
+      "ends with high\uD800", "mixed\uD800𐀀run"
+    ).foreach(checkParity)
+  }
+
+  test("parity on random Unicode strings") {
+    val interesting: Gen[Char] = Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const(','), Gen.const('ß'),
+      Gen.const('Ⅻ'), Gen.const('½'), Gen.const('İ'),
+      Gen.choose('\uD800', '\uDBFF'), Gen.choose('\uDC00', '\uDFFF'),
+      Arbitrary.arbitrary[Char])
+    val texts: Gen[String] = Gen.listOf(interesting).map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(texts) { text => checkParity(text); true })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("parity on the driver corpus") {
+    val spark = TestSpark.spark
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().foreach(r => checkParity(r.getString(0)))
+  }
+}
