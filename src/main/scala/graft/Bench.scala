@@ -56,7 +56,8 @@ object Bench {
       // AQE's extra per-stage re-planning rounds cuts fixed driver
       // overhead that otherwise dominates the scaling measurement. (On a
       // real cluster both stay ON.)
-      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.adaptive.enabled", "false")
       // direct task-output commit (no serial driver-side rename sweep);
@@ -316,13 +317,17 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 8M docs: large enough that the parallel posting pass dominates
-    // Spark's ~constant per-job overhead (Amdahl fit at 1M docs gave ~9s
-    // serial vs ~29 core-s parallel; at 4M the ~2s of fixed driver
-    // phases still cost ~8pp of measured build efficiency at 16 cores).
-    // Affordable now that the alternation adapts: a contended window
-    // shrinks the REMAINING pairs instead of losing them.
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1600").toInt
+    // 16M docs: large enough that the parallel posting pass dominates
+    // Spark's ~constant per-job overhead. The scale was 8M through
+    // round 4's first runs; the allocation-free map pass then cut the
+    // 16-core build to ~12 s, at which point ~3 s of fixed driver phases
+    // (corpus-count scan, head sample, stats, manifest) cost ~20pp of
+    // measured build efficiency — noise, not engine. Doubling the corpus
+    // restores the fixed:parallel ratio the round-3 measurements had,
+    // and the adaptive alternation absorbs the extra pair cost (a
+    // contended window shrinks the REMAINING pairs instead of losing
+    // them).
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "3200").toInt
     val nReps = sys.env.getOrElse("SPARK_GRAFT_QREPS", "50").toInt
     // headSampleInv=32: the salting head set comes from a deterministic
     // ~3% doc sample (layout-only decision; results provably unaffected) —
@@ -559,11 +564,12 @@ object Bench {
     // per scale unit at timedReps=2, builder runs rounds 2-3) inflated by
     // the probe's contention factor, and shrink scale/timedReps BEFORE
     // the first pair when it would not fit its share.
-    // ~0.2 s of pair wall per scale unit at timedReps=2 (recalibrated
-    // after the round-4 serving-derivation change cut child cost ~3x:
-    // run-1 measured 235 s/pair at scale=1600, timedReps=1)
+    // ~0.14 s of pair wall per scale unit at timedReps=2 (recalibrated
+    // after the allocation-free map pass: spawn-mode points at
+    // scale=1600/timedReps=1 measured ~75 s (c16) + ~100 s (c4) of child
+    // wall in a clean window; scaled to 3200 and best-of-2 ≈ 430 s/pair)
     val pairSecPerScale =
-      sys.env.getOrElse("SPARK_GRAFT_PAIR_SEC_PER_SCALE", "0.2").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_SEC_PER_SCALE", "0.14").toDouble
     if (probeT.contains(cpusLo) && probeT.contains(cpusHi)) {
       val contention = math.max(1.0, probeT(cpusHi) / probeT(cpusLo))
       val perPairBudget = budgetSec / outerReps
