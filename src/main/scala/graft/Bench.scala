@@ -276,10 +276,20 @@ object Bench {
       if (new java.io.File("/usr/bin/taskset").exists)
         Seq("/usr/bin/taskset", "-c", s"$pinOff-${pinOff + cpus - 1}")
       else Seq.empty
+    // GC-pause amplification is the main 4→16 build-scaling loss: the
+    // 16M-doc map stage's GC task-time was 4.2 s (c4) vs 30.6 s (c16) —
+    // each pause idles all pinned cores, so the same pause wall is
+    // charged 4× wider at the high point. Measured A/B: -Xmn16g is
+    // catastrophic (old gen 8g starves Spark's long-lived
+    // execution/storage memory → full-GC thrash, build 17.8 s → 179 s);
+    // keep the collector's default NewRatio and tune via -Xmx only.
+    val extraJvm = sys.env.getOrElse("SPARK_GRAFT_CHILD_JVM_OPTS", "")
+      .split("\\s+").toSeq.filter(_.nonEmpty)
     val cmd: Seq[String] = affinity ++ Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$mem",
       s"-XX:ActiveProcessorCount=$cpus",
-      "-XX:+UseParallelGC", // batch throughput collector; GC threads scale with the pin
+      "-XX:+UseParallelGC" // batch throughput collector; GC threads scale with the pin
+    ) ++ extraJvm ++ Seq(
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       s"-Dspark.local.dir=$localDir", // repo disk; /tmp gets reaped mid-job
