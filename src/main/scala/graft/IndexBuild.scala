@@ -130,19 +130,55 @@ object IndexBuild {
         val acc = new PartialAcc(headsBc.value, cfgV)
         // One append per OCCURRENCE (tf=1); equal-doc runs are summed at
         // emit. Tokenization is the two-pass allocation-free scan: pass 1
-        // counts dl, pass 2 appends each token by char range — the only
-        // per-document allocation left is the lowercased text itself.
-        val sink = new Tokenize.TokenSink {
+        // counts dl, pass 2 appends each token by char range. Pure-ASCII
+        // documents (the overwhelming majority of this corpus) take a
+        // zero-allocation path: the text is copied into a REUSED char
+        // buffer and lowered in place, so not even the lowercased copy
+        // is allocated — at 16M docs the toLowerCase copies alone were
+        // ~16 GB of young-gen garbage, and GC pauses are the main 4→16
+        // core build-scaling loss (each pause idles the whole pin).
+        // Per-char +32 lowering is exactly String.toLowerCase for
+        // pure-ASCII input under any non-Turkish default locale (the
+        // same assumption the String path's Catalyst-parity spec already
+        // makes); any char ≥ 128 falls back to the String path.
+        val sinkStr = new Tokenize.TokenSink {
           var doc = 0L
           var dl = 0
           def token(lower: String, start: Int, end: Int, hash: Int): Unit =
             acc.addOccurrence(lower, start, end, hash, doc, dl)
         }
+        val sinkChars = new Tokenize.CharsTokenSink {
+          var doc = 0L
+          var dl = 0
+          def token(chars: Array[Char], start: Int, end: Int, hash: Int): Unit =
+            acc.addOccurrenceChars(chars, start, end, hash, doc, dl)
+        }
+        var buf = new Array[Char](8192)
         it.foreach { case (d, text) =>
-          val lower = text.toLowerCase
-          sink.doc = d
-          sink.dl = Tokenize.countTokens(lower)
-          Tokenize.scanTokens(lower, sink)
+          val len = text.length
+          if (len > buf.length)
+            buf = new Array[Char](math.max(len, buf.length * 2))
+          text.getChars(0, len, buf, 0)
+          var i = 0
+          var ascii = true
+          while (ascii && i < len) {
+            val c = buf(i)
+            if (c >= 128) ascii = false
+            else {
+              if (c >= 'A' && c <= 'Z') buf(i) = (c + 32).toChar
+              i += 1
+            }
+          }
+          if (ascii) {
+            sinkChars.doc = d
+            sinkChars.dl = Tokenize.countTokensAscii(buf, len)
+            Tokenize.scanTokensAscii(buf, len, sinkChars)
+          } else {
+            val lower = text.toLowerCase
+            sinkStr.doc = d
+            sinkStr.dl = Tokenize.countTokens(lower)
+            Tokenize.scanTokens(lower, sinkStr)
+          }
           acc.maybeFlush()
         }
         acc.finish()
@@ -182,6 +218,13 @@ object IndexBuild {
     def addOccurrence(lower: String, start: Int, end: Int, hash: Int,
                       d: Long, dl: Int): Unit = {
       acc.lookup(lower, start, end, hash).add(d, 1, dl)
+      entries += 1
+    }
+
+    /** [[addOccurrence]] for the ASCII fast path's char buffer. */
+    def addOccurrenceChars(buf: Array[Char], start: Int, end: Int, hash: Int,
+                           d: Long, dl: Int): Unit = {
+      acc.lookupChars(buf, start, end, hash).add(d, 1, dl)
       entries += 1
     }
 
@@ -230,6 +273,36 @@ object IndexBuild {
         i = (i + 1) & mask
       }
       null // unreachable
+    }
+
+    /** [[lookup]] over a char-buffer region (the ASCII fast path): same
+      * probe sequence — `hash` must equal the region's String hashCode —
+      * and the key String is allocated only on first sight of the term. */
+    def lookupChars(s: Array[Char], start: Int, end: Int, hash: Int): PostingBuf = {
+      var i = hash & mask
+      while (true) {
+        val k = keys(i)
+        if (k == null) {
+          val t = new String(s, start, end - start)
+          val buf = new PostingBuf()
+          keys(i) = t; vals(i) = buf; used += 1
+          if (used * 4 > cap * 3) rehash()
+          return buf
+        } else if (k.length == end - start && regionEq(k, s, start)) {
+          return vals(i)
+        }
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    }
+
+    @inline private def regionEq(k: String, s: Array[Char], start: Int): Boolean = {
+      var j = 0
+      while (j < k.length) {
+        if (k.charAt(j) != s(start + j)) return false
+        j += 1
+      }
+      true
     }
 
     private def rehash(): Unit = {

@@ -54,6 +54,57 @@ object Tokenize {
         t == Character.OTHER_NUMBER
     }
 
+  /** Receiver for [[scanTokensAscii]] — token char ranges over a REUSED
+    * char buffer instead of a String, so the ASCII fast path of the
+    * fused build pass allocates nothing per document (see
+    * `IndexBuild.partialPostingsFromDocs`). */
+  trait CharsTokenSink {
+    /** One token = `new String(chars, start, end - start)`; `hash`
+      * equals that String's `hashCode`. */
+    def token(chars: Array[Char], start: Int, end: Int, hash: Int): Unit
+  }
+
+  /** `\p{L}\p{N}` membership for an ALREADY-LOWERCASED pure-ASCII char:
+    * the only ASCII code points in the letter/number categories are
+    * [A-Za-z0-9], and lowering removes A-Z. */
+  @inline private def isAsciiWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** [[countTokens]] over a lowered pure-ASCII char buffer. */
+  def countTokensAscii(buf: Array[Char], len: Int): Int = {
+    var i = 0
+    var n = 0
+    var in = false
+    while (i < len) {
+      if (isAsciiWord(buf(i))) { if (!in) { n += 1; in = true } }
+      else in = false
+      i += 1
+    }
+    n
+  }
+
+  /** [[scanTokens]] over a lowered pure-ASCII char buffer (caller
+    * guarantees every char < 128 and already lowercased). Token ranges
+    * and hashes are bit-identical to running [[scanTokens]] on
+    * `new String(buf, 0, len)` — spec-pinned in TokenizeSpec. */
+  def scanTokensAscii(buf: Array[Char], len: Int, sink: CharsTokenSink): Unit = {
+    var i = 0
+    var start = -1
+    var h = 0
+    while (i < len) {
+      val c = buf(i)
+      if (isAsciiWord(c)) {
+        if (start < 0) { start = i; h = 0 }
+        h = 31 * h + c
+      } else if (start >= 0) {
+        sink.token(buf, start, i, h)
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) sink.token(buf, start, len, h)
+  }
+
   /** Token count of an ALREADY-LOWERCASED string — one classification
     * pass, zero allocation. Equals `tokenizeArray(text).length` when
     * `lower == text.toLowerCase`. */

@@ -65,4 +65,49 @@ class TokenizeSpec extends AnyFunSuite {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("text").collect().foreach(r => checkParity(r.getString(0)))
   }
+
+  /** The ASCII fast path of the fused build pass: copy to a char buffer,
+    * lower in place, scan the buffer. Must be token- and hash-identical
+    * to the String path for any pure-ASCII input. */
+  private def viaAsciiScan(text: String): Option[(Seq[String], Int)] = {
+    val buf = text.toCharArray
+    var i = 0
+    while (i < buf.length) {
+      val c = buf(i)
+      if (c >= 128) return None
+      if (c >= 'A' && c <= 'Z') buf(i) = (c + 32).toChar
+      i += 1
+    }
+    val out = Seq.newBuilder[String]
+    Tokenize.scanTokensAscii(buf, buf.length, new Tokenize.CharsTokenSink {
+      def token(chars: Array[Char], s: Int, e: Int, h: Int): Unit = {
+        val t = new String(chars, s, e - s)
+        assert(h == t.hashCode, s"ascii hash mismatch for token '$t'")
+        out += t
+      }
+    })
+    Some((out.result(), Tokenize.countTokensAscii(buf, buf.length)))
+  }
+
+  test("ascii fast path parity (hand-picked + random)") {
+    val hand = Seq("", "...", "The  quick,brown fox! 42", "A", " MiXeD CaSe ",
+      "UPPER lower 0123456789", "under_score-dash", "a!b@c#d$e%f")
+    hand.foreach { t =>
+      val Some((got, n)) = viaAsciiScan(t): @unchecked
+      val expected = Tokenize.tokenizeArray(t).toSeq
+      assert(got == expected, s"ascii tokens diverge for '$t'")
+      assert(n == expected.length)
+    }
+    val asciiTexts: Gen[String] =
+      Gen.listOf(Gen.choose(0.toChar, 127.toChar)).map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(asciiTexts) { text =>
+        val Some((got, n)) = viaAsciiScan(text): @unchecked
+        val expected = Tokenize.tokenizeArray(text).toSeq
+        got == expected && n == expected.length
+      })
+    assert(res.passed, res.status.toString)
+    assert(viaAsciiScan("naïve").isEmpty, "non-ASCII must fall back")
+  }
 }
