@@ -131,12 +131,13 @@ object IndexBuild {
         // One append per OCCURRENCE (tf=1); equal-doc runs are summed at
         // emit. Tokenization is the two-pass allocation-free scan: pass 1
         // counts dl, pass 2 appends each token by char range. Pure-ASCII
-        // documents (the overwhelming majority of this corpus) take a
-        // zero-allocation path: the text is copied into a REUSED char
-        // buffer and lowered in place, so not even the lowercased copy
-        // is allocated — at 16M docs the toLowerCase copies alone were
-        // ~16 GB of young-gen garbage, and GC pauses are the main 4→16
-        // core build-scaling loss (each pause idles the whole pin).
+        // documents take a zero-allocation path: the text is copied into
+        // a REUSED char buffer and lowered in place, so no lowercased
+        // String copy is ever allocated. (Measured neutral on the bench
+        // corpus — its text is already all-lowercase, so toLowerCase was
+        // returning `this`; the win applies to real mixed-case webtext.
+        // The map stage's remaining dominant garbage is the Encoder
+        // boundary itself: one String + one Tuple2 per document.)
         // Per-char +32 lowering is exactly String.toLowerCase for
         // pure-ASCII input under any non-Turkish default locale (the
         // same assumption the String path's Catalyst-parity spec already
