@@ -124,66 +124,66 @@ object IndexBuild {
     import spark.implicits._
     val headsBc = spark.sparkContext.broadcast(headTerms)
     val cfgV = cfg
-    docs.select($"doc_id", $"text")
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val acc = new PartialAcc(headsBc.value, cfgV)
-        // One append per OCCURRENCE (tf=1); equal-doc runs are summed at
-        // emit. Tokenization is the two-pass allocation-free scan: pass 1
-        // counts dl, pass 2 appends each token by char range. Pure-ASCII
-        // documents take a zero-allocation path: the text is copied into
-        // a REUSED char buffer and lowered in place, so no lowercased
-        // String copy is ever allocated. (Measured neutral on the bench
-        // corpus — its text is already all-lowercase, so toLowerCase was
-        // returning `this`; the win applies to real mixed-case webtext.
-        // The map stage's remaining dominant garbage is the Encoder
-        // boundary itself: one String + one Tuple2 per document.)
-        // Per-char +32 lowering is exactly String.toLowerCase for
-        // pure-ASCII input under any non-Turkish default locale (the
-        // same assumption the String path's Catalyst-parity spec already
-        // makes); any char ≥ 128 falls back to the String path.
-        val sinkStr = new Tokenize.TokenSink {
-          var doc = 0L
-          var dl = 0
-          def token(lower: String, start: Int, end: Int, hash: Int): Unit =
-            acc.addOccurrence(lower, start, end, hash, doc, dl)
-        }
-        val sinkChars = new Tokenize.CharsTokenSink {
-          var doc = 0L
-          var dl = 0
-          def token(chars: Array[Char], start: Int, end: Int, hash: Int): Unit =
-            acc.addOccurrenceChars(chars, start, end, hash, doc, dl)
-        }
-        var buf = new Array[Char](8192)
-        it.foreach { case (d, text) =>
-          val len = text.length
-          if (len > buf.length)
-            buf = new Array[Char](math.max(len, buf.length * 2))
-          text.getChars(0, len, buf, 0)
-          var i = 0
-          var ascii = true
-          while (ascii && i < len) {
-            val c = buf(i)
-            if (c >= 128) ascii = false
-            else {
-              if (c >= 'A' && c <= 'Z') buf(i) = (c + 32).toChar
-              i += 1
-            }
-          }
-          if (ascii) {
-            sinkChars.doc = d
-            sinkChars.dl = Tokenize.countTokensAscii(buf, len)
-            Tokenize.scanTokensAscii(buf, len, sinkChars)
+    // One append per OCCURRENCE (tf=1); equal-doc runs are summed at
+    // emit. Tokenization is the two-pass scan: pass 1 counts dl (and
+    // establishes pure-ASCII), pass 2 appends each token by byte range.
+    //
+    // This is the repo's one deliberate drop below the typed Dataset
+    // API in a hot path (`queryExecution.toRdd`): the Encoder boundary
+    // of `.as[(Long, String)].mapPartitions` decodes one java String
+    // (~1 KB) plus one Tuple2 PER DOCUMENT — ~16 GB + 16M boxes per
+    // 16M-doc build — and the resulting GC pauses idle the whole pin,
+    // the measured dominant 4→16-core build-scaling loss (map-stage GC
+    // task-time 4.2 s at c4 vs 30.6 s at c16). Pure-ASCII documents
+    // now tokenize straight off the UnsafeRow's UTF8String bytes with
+    // zero per-doc allocation; any high bit falls back to the String
+    // path (per-byte +32 lowering == String.toLowerCase for pure-ASCII
+    // input under any non-Turkish default locale — the same assumption
+    // the String path's Catalyst-parity spec already makes). The
+    // declarative plan (scan → column-pruned project) is unchanged —
+    // toRdd executes exactly the optimized plan Catalyst produced;
+    // parity with the Catalyst-tokenized tf-row pipeline is spec-pinned
+    // (EngineSpec "fused == tf-row"), and the DuckDB oracle is a third
+    // independent check.
+    val pruned = docs.select($"doc_id", $"text")
+    val partials = pruned.queryExecution.toRdd.mapPartitions { it =>
+      val acc = new PartialAcc(headsBc.value, cfgV)
+      val sinkU = new Tokenize.Utf8TokenSink {
+        var doc = 0L
+        var dl = 0
+        def token(u: org.apache.spark.unsafe.types.UTF8String,
+                  start: Int, end: Int, hash: Int): Unit =
+          acc.addOccurrenceUtf8(u, start, end, hash, doc, dl)
+      }
+      val sinkStr = new Tokenize.TokenSink {
+        var doc = 0L
+        var dl = 0
+        def token(lower: String, start: Int, end: Int, hash: Int): Unit =
+          acc.addOccurrence(lower, start, end, hash, doc, dl)
+      }
+      // InternalRows are reused by the scan — every value is consumed
+      // within the iteration (term Strings are materialized copies).
+      it.foreach { row =>
+        if (!row.isNullAt(1)) {
+          val d = row.getLong(0)
+          val u = row.getUTF8String(1)
+          val dl = Tokenize.countTokensUtf8Ascii(u)
+          if (dl >= 0) {
+            sinkU.doc = d
+            sinkU.dl = dl
+            Tokenize.scanTokensUtf8(u, sinkU)
           } else {
-            val lower = text.toLowerCase
+            val lower = u.toString.toLowerCase
             sinkStr.doc = d
             sinkStr.dl = Tokenize.countTokens(lower)
             Tokenize.scanTokens(lower, sinkStr)
           }
           acc.maybeFlush()
         }
-        acc.finish()
       }
+      acc.finish()
+    }
+    spark.createDataset(partials)
   }
 
   /** Flush threshold for [[PartialAcc]]: total buffered postings per task
@@ -222,10 +222,11 @@ object IndexBuild {
       entries += 1
     }
 
-    /** [[addOccurrence]] for the ASCII fast path's char buffer. */
-    def addOccurrenceChars(buf: Array[Char], start: Int, end: Int, hash: Int,
-                           d: Long, dl: Int): Unit = {
-      acc.lookupChars(buf, start, end, hash).add(d, 1, dl)
+    /** [[addOccurrence]] for the Encoder-free UTF8String byte path. */
+    def addOccurrenceUtf8(u: org.apache.spark.unsafe.types.UTF8String,
+                          start: Int, end: Int, hash: Int,
+                          d: Long, dl: Int): Unit = {
+      acc.lookupUtf8(u, start, end, hash).add(d, 1, dl)
       entries += 1
     }
 
@@ -276,20 +277,22 @@ object IndexBuild {
       null // unreachable
     }
 
-    /** [[lookup]] over a char-buffer region (the ASCII fast path): same
-      * probe sequence — `hash` must equal the region's String hashCode —
-      * and the key String is allocated only on first sight of the term. */
-    def lookupChars(s: Array[Char], start: Int, end: Int, hash: Int): PostingBuf = {
+    /** [[lookup]] over a lowered-ASCII byte region of an UnsafeRow-backed
+      * UTF8String (the Encoder-free build path): same probe sequence —
+      * `hash` must equal the lowered token String's hashCode — and the
+      * key String is materialized only on first sight. */
+    def lookupUtf8(u: org.apache.spark.unsafe.types.UTF8String,
+                   start: Int, end: Int, hash: Int): PostingBuf = {
       var i = hash & mask
       while (true) {
         val k = keys(i)
         if (k == null) {
-          val t = new String(s, start, end - start)
+          val t = Tokenize.lowerAsciiToken(u, start, end)
           val buf = new PostingBuf()
           keys(i) = t; vals(i) = buf; used += 1
           if (used * 4 > cap * 3) rehash()
           return buf
-        } else if (k.length == end - start && regionEq(k, s, start)) {
+        } else if (k.length == end - start && regionEqUtf8(k, u, start)) {
           return vals(i)
         }
         i = (i + 1) & mask
@@ -297,10 +300,14 @@ object IndexBuild {
       null // unreachable
     }
 
-    @inline private def regionEq(k: String, s: Array[Char], start: Int): Boolean = {
+    @inline private def regionEqUtf8(
+        k: String, u: org.apache.spark.unsafe.types.UTF8String,
+        start: Int): Boolean = {
       var j = 0
       while (j < k.length) {
-        if (k.charAt(j) != s(start + j)) return false
+        val b = u.getByte(start + j)
+        val c = (if (b >= 'A' && b <= 'Z') b + 32 else b.toInt).toChar
+        if (k.charAt(j) != c) return false
         j += 1
       }
       true

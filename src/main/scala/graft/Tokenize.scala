@@ -54,55 +54,81 @@ object Tokenize {
         t == Character.OTHER_NUMBER
     }
 
-  /** Receiver for [[scanTokensAscii]] — token char ranges over a REUSED
-    * char buffer instead of a String, so the ASCII fast path of the
-    * fused build pass allocates nothing per document (see
-    * `IndexBuild.partialPostingsFromDocs`). */
-  trait CharsTokenSink {
-    /** One token = `new String(chars, start, end - start)`; `hash`
-      * equals that String's `hashCode`. */
-    def token(chars: Array[Char], start: Int, end: Int, hash: Int): Unit
+  /** Receiver for [[scanTokensUtf8]] — token byte ranges over a
+    * [[org.apache.spark.unsafe.types.UTF8String]] still backed by its
+    * UnsafeRow buffer, so the fused build pass can tokenize without
+    * ever decoding the document to a java String (the Dataset Encoder
+    * boundary — one String + one Tuple2 per document — is the map
+    * stage's dominant garbage on an already-lowercase corpus). */
+  trait Utf8TokenSink {
+    /** One token = bytes [start, end) of `u` lowered per-char; `hash`
+      * equals the lowered token String's `hashCode`. Only emitted for
+      * pure-ASCII input, where byte == char. */
+    def token(u: org.apache.spark.unsafe.types.UTF8String,
+              start: Int, end: Int, hash: Int): Unit
   }
 
-  /** `\p{L}\p{N}` membership for an ALREADY-LOWERCASED pure-ASCII char:
-    * the only ASCII code points in the letter/number categories are
-    * [A-Za-z0-9], and lowering removes A-Z. */
-  @inline private def isAsciiWord(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  @inline private def lowerAsciiByte(b: Byte): Int =
+    if (b >= 'A' && b <= 'Z') b + 32 else b.toInt
 
-  /** [[countTokens]] over a lowered pure-ASCII char buffer. */
-  def countTokensAscii(buf: Array[Char], len: Int): Int = {
+  @inline private def isAsciiWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  /** Pass 1 of the byte-level fast path: token count of a pure-ASCII
+    * UTF8String, or -1 if any byte has the high bit set (non-ASCII ⇒
+    * caller must fall back to the String path BEFORE emitting anything;
+    * UTF-8 guarantees every non-ASCII code point sets high bits). */
+  def countTokensUtf8Ascii(u: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val len = u.numBytes
     var i = 0
     var n = 0
     var in = false
     while (i < len) {
-      if (isAsciiWord(buf(i))) { if (!in) { n += 1; in = true } }
+      val b = u.getByte(i)
+      if (b < 0) return -1
+      if (isAsciiWordByte(b)) { if (!in) { n += 1; in = true } }
       else in = false
       i += 1
     }
     n
   }
 
-  /** [[scanTokens]] over a lowered pure-ASCII char buffer (caller
-    * guarantees every char < 128 and already lowercased). Token ranges
-    * and hashes are bit-identical to running [[scanTokens]] on
-    * `new String(buf, 0, len)` — spec-pinned in TokenizeSpec. */
-  def scanTokensAscii(buf: Array[Char], len: Int, sink: CharsTokenSink): Unit = {
+  /** Pass 2: emit each token's byte range + lowered-String hash. Caller
+    * must have established pure-ASCII via [[countTokensUtf8Ascii]].
+    * Bit-identical tokens/hashes to [[scanTokens]] on
+    * `u.toString.toLowerCase` — spec-pinned in TokenizeSpec. */
+  def scanTokensUtf8(u: org.apache.spark.unsafe.types.UTF8String,
+                     sink: Utf8TokenSink): Unit = {
+    val len = u.numBytes
     var i = 0
     var start = -1
     var h = 0
     while (i < len) {
-      val c = buf(i)
-      if (isAsciiWord(c)) {
+      val b = u.getByte(i)
+      if (isAsciiWordByte(b)) {
         if (start < 0) { start = i; h = 0 }
-        h = 31 * h + c
+        h = 31 * h + lowerAsciiByte(b)
       } else if (start >= 0) {
-        sink.token(buf, start, i, h)
+        sink.token(u, start, i, h)
         start = -1
       }
       i += 1
     }
-    if (start >= 0) sink.token(buf, start, len, h)
+    if (start >= 0) sink.token(u, start, len, h)
+  }
+
+  /** Materialize the lowered ASCII token at bytes [start, end) of `u`
+    * as a String — only called on first sight of a term. */
+  def lowerAsciiToken(u: org.apache.spark.unsafe.types.UTF8String,
+                      start: Int, end: Int): String = {
+    val n = end - start
+    val chars = new Array[Char](n)
+    var j = 0
+    while (j < n) {
+      chars(j) = lowerAsciiByte(u.getByte(start + j)).toChar
+      j += 1
+    }
+    new String(chars)
   }
 
   /** Token count of an ALREADY-LOWERCASED string — one classification

@@ -66,36 +66,33 @@ class TokenizeSpec extends AnyFunSuite {
       .select("text").collect().foreach(r => checkParity(r.getString(0)))
   }
 
-  /** The ASCII fast path of the fused build pass: copy to a char buffer,
-    * lower in place, scan the buffer. Must be token- and hash-identical
-    * to the String path for any pure-ASCII input. */
-  private def viaAsciiScan(text: String): Option[(Seq[String], Int)] = {
-    val buf = text.toCharArray
-    var i = 0
-    while (i < buf.length) {
-      val c = buf(i)
-      if (c >= 128) return None
-      if (c >= 'A' && c <= 'Z') buf(i) = (c + 32).toChar
-      i += 1
-    }
+  /** The ASCII byte fast path of the fused build pass: tokenize straight
+    * off the UTF8String bytes with on-the-fly lowering. Must be token-
+    * and hash-identical to the String path for any pure-ASCII input and
+    * must refuse (count = -1, nothing emitted) anything else. */
+  private def viaUtf8Scan(text: String): Option[(Seq[String], Int)] = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+    val n = Tokenize.countTokensUtf8Ascii(u)
+    if (n < 0) return None
     val out = Seq.newBuilder[String]
-    Tokenize.scanTokensAscii(buf, buf.length, new Tokenize.CharsTokenSink {
-      def token(chars: Array[Char], s: Int, e: Int, h: Int): Unit = {
-        val t = new String(chars, s, e - s)
-        assert(h == t.hashCode, s"ascii hash mismatch for token '$t'")
+    Tokenize.scanTokensUtf8(u, new Tokenize.Utf8TokenSink {
+      def token(uu: org.apache.spark.unsafe.types.UTF8String,
+                s: Int, e: Int, h: Int): Unit = {
+        val t = Tokenize.lowerAsciiToken(uu, s, e)
+        assert(h == t.hashCode, s"utf8 hash mismatch for token '$t'")
         out += t
       }
     })
-    Some((out.result(), Tokenize.countTokensAscii(buf, buf.length)))
+    Some((out.result(), n))
   }
 
-  test("ascii fast path parity (hand-picked + random)") {
+  test("utf8 ascii fast path parity (hand-picked + random)") {
     val hand = Seq("", "...", "The  quick,brown fox! 42", "A", " MiXeD CaSe ",
       "UPPER lower 0123456789", "under_score-dash", "a!b@c#d$e%f")
     hand.foreach { t =>
-      val Some((got, n)) = viaAsciiScan(t): @unchecked
+      val Some((got, n)) = viaUtf8Scan(t): @unchecked
       val expected = Tokenize.tokenizeArray(t).toSeq
-      assert(got == expected, s"ascii tokens diverge for '$t'")
+      assert(got == expected, s"utf8 tokens diverge for '$t'")
       assert(n == expected.length)
     }
     val asciiTexts: Gen[String] =
@@ -103,11 +100,12 @@ class TokenizeSpec extends AnyFunSuite {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(500),
       Prop.forAll(asciiTexts) { text =>
-        val Some((got, n)) = viaAsciiScan(text): @unchecked
+        val Some((got, n)) = viaUtf8Scan(text): @unchecked
         val expected = Tokenize.tokenizeArray(text).toSeq
         got == expected && n == expected.length
       })
     assert(res.passed, res.status.toString)
-    assert(viaAsciiScan("naïve").isEmpty, "non-ASCII must fall back")
+    assert(viaUtf8Scan("naïve").isEmpty, "non-ASCII must fall back")
+    assert(viaUtf8Scan("😀 emoji").isEmpty, "supplementary must fall back")
   }
 }
