@@ -285,11 +285,14 @@ object Bench {
     // keep the collector's default NewRatio and tune via -Xmx only.
     val extraJvm = sys.env.getOrElse("SPARK_GRAFT_CHILD_JVM_OPTS", "")
       .split("\\s+").toSeq.filter(_.nonEmpty)
+    // default collector, unless the A/B override picks its own (two GC
+    // selections on one command line are a JVM startup error)
+    val gcFlag = if (extraJvm.exists(_.matches("-XX:\\+Use\\w*GC"))) Seq.empty
+                 else Seq("-XX:+UseParallelGC") // batch throughput collector; GC threads scale with the pin
     val cmd: Seq[String] = affinity ++ Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$mem",
-      s"-XX:ActiveProcessorCount=$cpus",
-      "-XX:+UseParallelGC" // batch throughput collector; GC threads scale with the pin
-    ) ++ extraJvm ++ Seq(
+      s"-XX:ActiveProcessorCount=$cpus"
+    ) ++ gcFlag ++ extraJvm ++ Seq(
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       s"-Dspark.local.dir=$localDir", // repo disk; /tmp gets reaped mid-job
@@ -344,7 +347,9 @@ object Bench {
     // at web scale an exact-df pre-pass would double the build's tokenize
     // work for nothing.
     val cfg = IndexBuild.Config(numPartitions = 64, bucketWidth = 4096,
-      headDf = 1000, blockSize = Codec.BlockSize, headSampleInv = 32)
+      headDf = 1000, blockSize = Codec.BlockSize, headSampleInv = 32,
+      flushEntries =
+        sys.env.getOrElse("SPARK_GRAFT_FLUSH_ENTRIES", "4000000").toLong)
 
     if (args.headOption.contains("profile")) {
       // Phase-profile the batched serving query at scale (SURVEY §7.5:

@@ -32,6 +32,34 @@ object Codec {
     out += v.toByte
   }
 
+  /** Growable PRIMITIVE byte sink for the hot encode path. Scala's
+    * `ArrayBuffer[Byte]` is unspecialized — it stores each byte as an
+    * 8-byte boxed reference (8× the memory traffic of the data) — and the
+    * build encodes the entire index through it twice (map emit + reduce
+    * merge). Reusable across blocks via [[clear]]: one sink per task, one
+    * exact-size `toArray` per block (the block bytes themselves). */
+  final class ByteSink(initial: Int = 4096) {
+    private var buf = new Array[Byte](initial)
+    private var nn = 0
+    @inline def add(b: Byte): Unit = {
+      if (nn == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+      buf(nn) = b
+      nn += 1
+    }
+    def clear(): Unit = nn = 0
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, nn)
+  }
+
+  def putVLong(out: ByteSink, value: Long): Unit = {
+    require(value >= 0, s"VByte requires non-negative, got $value")
+    var v = value
+    while ((v & ~0x7fL) != 0L) {
+      out.add(((v & 0x7f) | 0x80).toByte)
+      v >>>= 7
+    }
+    out.add(v.toByte)
+  }
+
   /** Mutable read position wrapper (avoids tuple allocation per value). */
   final class Reader(val bytes: Array[Byte]) {
     var pos: Int = 0
@@ -49,25 +77,37 @@ object Codec {
   // ---- Block encode/decode --------------------------------------------
   /** Encode one block of postings (docIds strictly increasing). */
   def encodeBlock(docIds: Array[Long], tfs: Array[Int], dls: Array[Int]): Block = {
-    val n = docIds.length
-    require(n > 0 && tfs.length == n && dls.length == n)
-    val out = new ArrayBuffer[Byte](n * 4)
+    require(docIds.length > 0 && tfs.length == docIds.length && dls.length == docIds.length)
+    encodeBlockRange(docIds, tfs, dls, 0, docIds.length, new ByteSink(docIds.length * 4))
+  }
+
+  /** [[encodeBlock]] over the range [from, until) of the parallel arrays,
+    * writing through a reusable sink — the hot-path shape: the build's
+    * emit and merge loops encode straight out of their posting buffers
+    * with zero intermediate array copies (the `copyOfRange`+`slice`
+    * variant copied every posting ~4× — gigabytes of young-gen garbage
+    * per build whose collection pauses idle ALL pinned cores, the
+    * measured 4→16-core scaling loss). Byte output is bit-identical to
+    * the whole-array path. */
+  def encodeBlockRange(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
+                       from: Int, until: Int, sink: ByteSink): Block = {
+    sink.clear()
     var prev = -1L
     var maxTf = 0
     var minDl = Int.MaxValue
-    var i = 0
-    while (i < n) {
+    var i = from
+    while (i < until) {
       val d = docIds(i)
       require(d > prev, s"docIds must be strictly increasing: $d after $prev")
-      putVLong(out, if (i == 0) d else d - prev)
-      putVLong(out, tfs(i).toLong)
-      putVLong(out, dls(i).toLong)
+      putVLong(sink, if (i == from) d else d - prev)
+      putVLong(sink, tfs(i).toLong)
+      putVLong(sink, dls(i).toLong)
       if (tfs(i) > maxTf) maxTf = tfs(i)
       if (dls(i) < minDl) minDl = dls(i)
       prev = d
       i += 1
     }
-    Block(docIds(n - 1), n, maxTf, minDl, out.toArray)
+    Block(docIds(until - 1), until - from, maxTf, minDl, sink.toArray)
   }
 
   /** Decode a block into parallel arrays (docIds, tfs, dls). */
@@ -91,13 +131,20 @@ object Codec {
 
   /** Cut a full posting list into blocks of [[BlockSize]]. */
   def encodeBlocks(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-                   blockSize: Int = BlockSize): Seq[Block] = {
+                   blockSize: Int = BlockSize): Seq[Block] =
+    encodeBlocksRange(docIds, tfs, dls, 0, docIds.length, blockSize,
+      new ByteSink())
+
+  /** [[encodeBlocks]] over [from, until) with a reusable sink — no array
+    * slices, no per-block copies; bit-identical output. */
+  def encodeBlocksRange(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
+                        from: Int, until: Int, blockSize: Int,
+                        sink: ByteSink): Seq[Block] = {
     val out = Vector.newBuilder[Block]
-    var off = 0
-    while (off < docIds.length) {
-      val len = math.min(blockSize, docIds.length - off)
-      out += encodeBlock(
-        docIds.slice(off, off + len), tfs.slice(off, off + len), dls.slice(off, off + len))
+    var off = from
+    while (off < until) {
+      val len = math.min(blockSize, until - off)
+      out += encodeBlockRange(docIds, tfs, dls, off, off + len, sink)
       off += len
     }
     out.result()

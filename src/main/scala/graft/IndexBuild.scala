@@ -48,13 +48,21 @@ object IndexBuild {
     *   a full tokenize pass (the reference's own precedent: Train() fits
     *   the routing model on an nsamples subset, `src/index_ivf.cpp:43-62`).
     */
+  /** @param flushEntries map-side posting-buffer flush threshold (see
+    *   [[PartialAcc.maybeFlush]]): the task's LIVE young-generation set is
+    *   ~16 B × this, and at high core counts that live set is what every
+    *   young GC copies — with N tasks pinned, each pause idles all N
+    *   cores, so the threshold trades GC pause wall (smaller = less live
+    *   data per collection) against partial-row count (smaller = more
+    *   runs per (term, bucket) through the shuffle + merge). */
   final case class Config(
       numPartitions: Int = 32,
       bucketWidth: Long = 128,
       headDf: Long = 300,
       blockSize: Int = Codec.BlockSize,
       docPartitioned: Boolean = false,
-      headSampleInv: Int = 1)
+      headSampleInv: Int = 1,
+      flushEntries: Long = 4L * 1000 * 1000)
 
   /** Meta row persisted with the index: corpus scalars + the build config
     * (query-time pruning must use the SAME hash geometry). min/max doc_id
@@ -186,12 +194,13 @@ object IndexBuild {
     spark.createDataset(partials)
   }
 
-  /** Flush threshold for [[PartialAcc]]: total buffered postings per task
-    * before an early emit. Bounds task live memory at ~16 B × this (plus
-    * the emitted compressed rows) REGARDLESS of partition size — the
-    * property that lets one map task tokenize an arbitrarily large input
-    * split at web scale. Each flush starts new partial runs for the same
-    * (term, bucket) keys; [[mergePartials]] already merges k runs. */
+  /** Default flush threshold for [[PartialAcc]]: total buffered postings
+    * per task before an early emit ([[Config.flushEntries]]). Bounds task
+    * live memory at ~16 B × this (plus the emitted compressed rows)
+    * REGARDLESS of partition size — the property that lets one map task
+    * tokenize an arbitrarily large input split at web scale. Each flush
+    * starts new partial runs for the same (term, bucket) keys;
+    * [[mergePartials]] already merges k runs. */
   val FlushEntries: Long = 4L * 1000 * 1000
 
   /** Map-side posting accumulator: per-term growable PRIMITIVE column
@@ -205,6 +214,7 @@ object IndexBuild {
   private[graft] final class PartialAcc(heads: Set[String], cfg: Config) {
     private val acc = new TermMap()
     private val out = new ArrayBuffer[PostingRow]()
+    private val sink = new Codec.ByteSink()
     private var entries = 0L
 
     def add(t: String, d: Long, tf: Int, dl: Int): Unit = {
@@ -235,15 +245,30 @@ object IndexBuild {
       * path). Flushing mid-document would split one doc's occurrences
       * across partial runs, and the reduce merge concatenates runs
       * without re-summing equal docs. */
-    def maybeFlush(): Unit = if (entries >= FlushEntries) flush()
+    def maybeFlush(): Unit = if (entries >= cfg.flushEntries) flush()
 
     private def flush(): Unit = {
-      acc.foreachEntry((t, buf) => emitBuf(t, buf, heads, cfg, out))
+      acc.foreachEntry((t, buf) => emitBuf(t, buf, heads, cfg, out, sink))
       acc.clear()
       entries = 0
     }
 
     def finish(): Iterator[PostingRow] = { flush(); out.iterator }
+  }
+
+  /** Does the interned key equal the lowered-ASCII byte region starting at
+    * `start` of `u`? Shared probe predicate of [[TermMap]] and [[DfMap]]. */
+  @inline private def regionEqUtf8(
+      k: String, u: org.apache.spark.unsafe.types.UTF8String,
+      start: Int): Boolean = {
+    var j = 0
+    while (j < k.length) {
+      val b = u.getByte(start + j)
+      val c = (if (b >= 'A' && b <= 'Z') b + 32 else b.toInt).toChar
+      if (k.charAt(j) != c) return false
+      j += 1
+    }
+    true
   }
 
   /** Open-addressed term → [[PostingBuf]] map with REGION lookup: probes
@@ -300,19 +325,6 @@ object IndexBuild {
       null // unreachable
     }
 
-    @inline private def regionEqUtf8(
-        k: String, u: org.apache.spark.unsafe.types.UTF8String,
-        start: Int): Boolean = {
-      var j = 0
-      while (j < k.length) {
-        val b = u.getByte(start + j)
-        val c = (if (b >= 'A' && b <= 'Z') b + 32 else b.toInt).toChar
-        if (k.charAt(j) != c) return false
-        j += 1
-      }
-      true
-    }
-
     private def rehash(): Unit = {
       val ok = keys; val ov = vals
       cap <<= 1; mask = cap - 1
@@ -352,7 +364,8 @@ object IndexBuild {
     * so summing never crosses documents), then cut rows at bucket
     * boundaries. */
   private def emitBuf(t: String, buf: PostingBuf, heads: Set[String],
-                      cfg: Config, out: ArrayBuffer[PostingRow]): Unit = {
+                      cfg: Config, out: ArrayBuffer[PostingRow],
+                      sink: Codec.ByteSink): Unit = {
     if (buf.n == 0) return
     buf.sortIfNeeded()
     val m = buf.mergeEqualDocs()
@@ -365,16 +378,18 @@ object IndexBuild {
       if (bucketed) {
         while (j < m && (buf.docs(j) / width).toInt == b) j += 1
       } else j = m
-      val ds = java.util.Arrays.copyOfRange(buf.docs, i, j)
-      val ts = java.util.Arrays.copyOfRange(buf.tfs, i, j)
-      val ls = java.util.Arrays.copyOfRange(buf.dls, i, j)
       var cf = 0L
-      var k = 0
-      while (k < ts.length) { cf += ts(k); k += 1 }
+      var k = i
+      while (k < j) { cf += buf.tfs(k); k += 1 }
       val partId = if (cfg.docPartitioned) b % cfg.numPartitions
                    else partIdOf(t, b, cfg.numPartitions)
-      out += PostingRow(partId, t, b, ds.length.toLong, cf, ds(0),
-        Codec.encodeBlocks(ds, ts, ls, cfg.blockSize))
+      // encode straight out of the buffer range — the copyOfRange triple
+      // this replaces copied every posting's 16 B twice more (once here,
+      // once in encodeBlocks' per-block slices): ~4 GB of young-gen
+      // garbage per 8M-doc build whose collection pauses idled all cores
+      out += PostingRow(partId, t, b, (j - i).toLong, cf, buf.docs(i),
+        Codec.encodeBlocksRange(buf.docs, buf.tfs, buf.dls, i, j,
+          cfg.blockSize, sink))
       i = j
     }
   }
@@ -398,26 +413,33 @@ object IndexBuild {
       if (d < lastDoc) needSort = true else lastDoc = d
     }
 
-    def bulkAdd(ds: Array[Long], ts: Array[Int], ls: Array[Int]): Unit = {
-      if (ds.length == 0) return
-      if (n + ds.length > docs.length) grow(n + ds.length)
-      System.arraycopy(ds, 0, docs, n, ds.length)
-      System.arraycopy(ts, 0, tfs, n, ds.length)
-      System.arraycopy(ls, 0, dls, n, ds.length)
-      var i = 0
-      while (i < ds.length) {
-        if (ds(i) < lastDoc) needSort = true else lastDoc = ds(i)
-        i += 1
-      }
-      n += ds.length
-    }
-
     private def grow(min: Int): Unit = {
       var c = docs.length << 1
       while (c < min) c <<= 1
       docs = java.util.Arrays.copyOf(docs, c)
       tfs = java.util.Arrays.copyOf(tfs, c)
       dls = java.util.Arrays.copyOf(dls, c)
+    }
+
+    /** Decode a compressed block DIRECTLY into the buffer — the merge
+      * path's replacement for decodeBlock-then-bulkAdd, which allocated
+      * three intermediate arrays per block (the reduce stage's dominant
+      * garbage). Monotonicity tracking matches [[add]]. */
+    def addBlock(b: Block): Unit = {
+      if (n + b.n > docs.length) grow(n + b.n)
+      val r = new Codec.Reader(b.bytes)
+      var prev = 0L
+      var i = 0
+      while (i < b.n) {
+        val g = r.readVLong()
+        prev = if (i == 0) g else prev + g
+        docs(n) = prev
+        tfs(n) = r.readVLong().toInt
+        dls(n) = r.readVLong().toInt
+        if (prev < lastDoc) needSort = true else lastDoc = prev
+        n += 1
+        i += 1
+      }
     }
 
     def sortIfNeeded(): Unit = if (needSort) { qsort(0, n - 1); needSort = false }
@@ -488,6 +510,7 @@ object IndexBuild {
   def mergePartials(rows: Iterator[PostingRow], blockSize: Int): Iterator[PostingRow] =
     new Iterator[PostingRow] {
       private val it = rows.buffered
+      private val sink = new Codec.ByteSink()
       def hasNext: Boolean = it.hasNext
       def next(): PostingRow = {
         val head = it.head
@@ -497,19 +520,17 @@ object IndexBuild {
           val row = it.next()
           cf += row.cf
           // runs arrive ordered by min_doc and cover disjoint doc ranges
-          // when the map side scanned docs sequentially — bulkAdd detects
+          // when the map side scanned docs sequentially — addBlock detects
           // monotonic concatenation and the sort below becomes a no-op
-          row.blocks.foreach { b =>
-            val (ds, ts, ls) = Codec.decodeBlock(b)
-            buf.bulkAdd(ds, ts, ls)
-          }
+          row.blocks.foreach(buf.addBlock)
         }
         buf.sortIfNeeded()
+        // decode-into + range-encode: zero intermediate copies of the
+        // posting mass (was: decode triple + bulkAdd + copyOf triple)
         PostingRow(head.part_id, head.term, head.bucket, buf.n.toLong, cf,
           buf.docs(0),
-          Codec.encodeBlocks(java.util.Arrays.copyOf(buf.docs, buf.n),
-            java.util.Arrays.copyOf(buf.tfs, buf.n),
-            java.util.Arrays.copyOf(buf.dls, buf.n), blockSize))
+          Codec.encodeBlocksRange(buf.docs, buf.tfs, buf.dls, 0, buf.n,
+            blockSize, sink))
       }
     }
 
@@ -544,21 +565,162 @@ object IndexBuild {
     else termStats.where($"df" > cfg.headDf).select($"term").as[String].collect().toSet
   }
 
+  /** Open-addressed term → (df, last_doc) counter for the sampled head
+    * pass — the same region-probe discipline as [[TermMap]] (the key
+    * String is materialized only on first sight), with DOC-distinct
+    * counting via last-doc marking: df counts sampled documents
+    * CONTAINING the term, matching the `array_distinct` semantics of the
+    * Catalyst mirror this replaced (parity spec-asserted at inv=1 against
+    * [[headTerms]] over full Catalyst-tokenized term stats). */
+  private[graft] final class DfMap {
+    private var cap = 1 << 10
+    private var mask = cap - 1
+    private var keys = new Array[String](cap)
+    private var dfs = new Array[Int](cap)
+    private var last = new Array[Long](cap)
+    private var used = 0
+
+    def bump(s: String, start: Int, end: Int, hash: Int, doc: Long): Unit = {
+      var i = hash & mask
+      while (true) {
+        val k = keys(i)
+        if (k == null) {
+          keys(i) = s.substring(start, end)
+          dfs(i) = 1; last(i) = doc; used += 1
+          if (used * 4 > cap * 3) rehash()
+          return
+        } else if (k.length == end - start && s.startsWith(k, start)) {
+          if (last(i) != doc) { dfs(i) += 1; last(i) = doc }
+          return
+        }
+        i = (i + 1) & mask
+      }
+    }
+
+    def bumpUtf8(u: org.apache.spark.unsafe.types.UTF8String,
+                 start: Int, end: Int, hash: Int, doc: Long): Unit = {
+      var i = hash & mask
+      while (true) {
+        val k = keys(i)
+        if (k == null) {
+          keys(i) = Tokenize.lowerAsciiToken(u, start, end)
+          dfs(i) = 1; last(i) = doc; used += 1
+          if (used * 4 > cap * 3) rehash()
+          return
+        } else if (k.length == end - start && regionEqUtf8(k, u, start)) {
+          if (last(i) != doc) { dfs(i) += 1; last(i) = doc }
+          return
+        }
+        i = (i + 1) & mask
+      }
+    }
+
+    private def rehash(): Unit = {
+      val ok = keys; val od = dfs; val ol = last
+      cap <<= 1; mask = cap - 1
+      keys = new Array[String](cap)
+      dfs = new Array[Int](cap)
+      last = new Array[Long](cap)
+      var j = 0
+      while (j < ok.length) {
+        val k = ok(j)
+        if (k != null) {
+          var i = k.hashCode & mask
+          while (keys(i) != null) i = (i + 1) & mask
+          keys(i) = k; dfs(i) = od(j); last(i) = ol(j)
+        }
+        j += 1
+      }
+    }
+
+    /** (term, df, 0, 0) rows for the partial-df shuffle. */
+    def entries: Iterator[(String, Long, Long, Long)] =
+      keys.iterator.zipWithIndex.collect {
+        case (k, i) if k != null => (k, dfs(i).toLong, 0L, 0L)
+      }
+  }
+
+  /** Scalars + head set of the single fused pre-pass (see
+    * [[corpusScanWithHeads]]). */
+  final case class CorpusScan(n_docs: Long, max_doc_id: Long,
+                              min_doc_id: Long, heads: Set[String])
+
+  /** ONE fused pre-pass over the corpus: per-task (count, max_doc,
+    * min_doc) scalars AND sampled head-term dfs (`doc_id % headSampleInv
+    * == 0` docs, doc-distinct term counts), merged by one vocab-sized
+    * map-side-combined aggregation. Replaces the two separate jobs
+    * (corpus-scalars agg + Catalyst explode/distinct head sample) the
+    * build used to run before its main pass — each cost a fixed
+    * job-overhead share that at 16 cores was pure scaling loss, and the
+    * Catalyst sample pass allocated a token-array per doc (3.2 s of GC
+    * task-time at c16). Tokenization is the same dual-path (ASCII bytes /
+    * lowered String) scanner as the fused build pass, so head-set parity
+    * with the Catalyst mirror rides the existing tokenizer-parity specs. */
+  def corpusScanWithHeads(spark: SparkSession, docs: DataFrame,
+                          cfg: Config): CorpusScan = {
+    import spark.implicits._
+    val inv = math.max(cfg.headSampleInv, 1)
+    val needHeads = !cfg.docPartitioned
+    // doc-partitioned layouts never salt ⇒ scan doc_id only (text pruned)
+    val pruned = if (needHeads) docs.select($"doc_id", $"text")
+                 else docs.select($"doc_id")
+    val partials = pruned.queryExecution.toRdd.mapPartitions { it =>
+      val map = new DfMap()
+      var nDocs = 0L
+      var maxD = Long.MinValue
+      var minD = Long.MaxValue
+      val sinkU = new Tokenize.Utf8TokenSink {
+        var doc = 0L
+        def token(u: org.apache.spark.unsafe.types.UTF8String,
+                  start: Int, end: Int, hash: Int): Unit =
+          map.bumpUtf8(u, start, end, hash, doc)
+      }
+      val sinkS = new Tokenize.TokenSink {
+        var doc = 0L
+        def token(lower: String, start: Int, end: Int, hash: Int): Unit =
+          map.bump(lower, start, end, hash, doc)
+      }
+      it.foreach { row =>
+        val d = row.getLong(0)
+        nDocs += 1
+        if (d > maxD) maxD = d
+        if (d < minD) minD = d
+        if (needHeads && d % inv == 0 && !row.isNullAt(1)) {
+          val u = row.getUTF8String(1)
+          if (Tokenize.countTokensUtf8Ascii(u) >= 0) {
+            sinkU.doc = d
+            Tokenize.scanTokensUtf8(u, sinkU)
+          } else {
+            sinkS.doc = d
+            Tokenize.scanTokens(u.toString.toLowerCase, sinkS)
+          }
+        }
+      }
+      // sentinel row (null term) carries this task's corpus scalars
+      map.entries ++ Iterator((null: String, nDocs, maxD, minD))
+    }
+    val agg = spark.createDataset(partials)
+      .toDF("term", "df", "maxd", "mind")
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), max($"maxd").as("maxd"), min($"mind").as("mind"))
+      .where($"term".isNull || $"df" * inv > cfg.headDf)
+      .collect()
+    var nDocs = 0L; var maxD = Long.MinValue; var minD = Long.MaxValue
+    val heads = Set.newBuilder[String]
+    agg.foreach { r =>
+      if (r.isNullAt(0)) { nDocs = r.getLong(1); maxD = r.getLong(2); minD = r.getLong(3) }
+      else heads += r.getString(0)
+    }
+    CorpusScan(nDocs, maxD, minD, heads.result())
+  }
+
   /** Head-term set straight from the corpus, on the deterministic doc
     * sample `doc_id % headSampleInv == 0` (inv=1 ⇒ exact: identical set to
-    * [[headTerms]] over full term stats — spec-asserted). One tiny job:
-    * per-doc distinct terms → map-side-combined count → scaled threshold. */
-  def sampledHeadTerms(spark: SparkSession, docs: DataFrame, cfg: Config): Set[String] = {
-    import spark.implicits._
-    if (cfg.docPartitioned) return Set.empty
-    val inv = math.max(cfg.headSampleInv, 1)
-    val sampled = if (inv == 1) docs else docs.where(pmod($"doc_id", lit(inv)) === 0)
-    sampled
-      .select(explode(array_distinct(Tokenize.tokensCol($"text"))).as("term"))
-      .groupBy($"term").agg(count(lit(1)).as("df"))
-      .where($"df" * inv > cfg.headDf)
-      .select($"term").as[String].collect().toSet
-  }
+    * [[headTerms]] over full term stats — spec-asserted). One fused pass:
+    * [[corpusScanWithHeads]]. */
+  def sampledHeadTerms(spark: SparkSession, docs: DataFrame, cfg: Config): Set[String] =
+    if (cfg.docPartitioned) Set.empty
+    else corpusScanWithHeads(spark, docs, cfg).heads
 
   /** In-memory build: postings Dataset + stats (no disk IO) — used by the
     * Verify contract and algorithm tests; the disk path below adds only
@@ -615,16 +777,16 @@ object IndexBuild {
         System.err.println(f"[build-phase] $name ${(System.nanoTime() - t) / 1e9}%.2fs gc=${gcMs - g}ms")
       r
     }
-    // ONE full tokenize pass over the corpus (the fused partials job).
-    // Everything else is cheap: a column-pruned count/max scan, a sampled
-    // head-term probe, and vocab-sized aggs over the built segments.
-    val docRow = phase("docs-scan")(
-      docs.agg(count(lit(1)), max($"doc_id"), min($"doc_id")).head())
-    val nDocs = docRow.getLong(0)
-    val maxDocId = docRow.getLong(1)
-    val minDocId = docRow.getLong(2)
+    // ONE full tokenize pass over the corpus (the fused partials job),
+    // preceded by ONE fused pre-pass (corpus scalars + sampled head set in
+    // the same job). Everything else is vocab-sized aggs over the built
+    // segments, overlapped below.
+    val scan = phase("scan+heads")(corpusScanWithHeads(spark, docs, cfg))
+    val nDocs = scan.n_docs
+    val maxDocId = scan.max_doc_id
+    val minDocId = scan.min_doc_id
     require(nDocs > 0, "writeIndex needs a non-empty corpus")
-    val heads = phase("head-sample")(sampledHeadTerms(spark, docs, cfg))
+    val heads = scan.heads
 
     val done: Set[Int] =
       if (resume && exists(spark, manifestDir(dir)))
@@ -653,11 +815,24 @@ object IndexBuild {
       // postings in unread buckets. Fresh builds aggregate the persisted
       // postings in memory; resumed builds re-read the segments so the
       // stats always describe everything on disk (S7/S8 analog).
+      //
+      // The stats and manifest aggregations are INDEPENDENT vocab-sized
+      // jobs over the same persisted postings — run concurrently (the
+      // scheduler interleaves their tasks), halving a tail latency that
+      // is mostly fixed job overhead and thus pure scaling loss at high
+      // core counts. Ordering contract kept: manifest (the per-partition
+      // commit point) is awaited before it is written, and meta — the
+      // open-gate — is still written after both.
       val statsSrc = if (done.isEmpty) postings.toDF()
                      else spark.read.parquet(segmentsDir(dir))
-      phase("stats") {
-        termStatsFromPostings(statsSrc)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fStats = Future {
+        phase("stats") {
+          termStatsFromPostings(statsSrc)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
+        }
       }
       // Manifest rows for the partitions THIS run built, appended LAST
       // (atomic per-partition commit point). On fresh builds n_tokens =
@@ -675,6 +850,7 @@ object IndexBuild {
             .write.mode(SaveMode.Append).parquet(manifestDir(dir))
         manifest.map(_.getLong(3)).sum
       }
+      Await.result(fStats, Duration.Inf)
       val nTokens =
         if (done.isEmpty) gapTokens
         else spark.read.parquet(segmentsDir(dir)).agg(sum($"cf")).head().getLong(0)
