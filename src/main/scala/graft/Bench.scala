@@ -348,8 +348,13 @@ object Bench {
     // work for nothing.
     val cfg = IndexBuild.Config(numPartitions = 64, bucketWidth = 4096,
       headDf = 1000, blockSize = Codec.BlockSize, headSampleInv = 32,
+      // 1M (= 16 MB live posting buffer per task): A/B'd against the 4M
+      // default at 8M docs / 16 pinned cores — map-stage GC task-time
+      // 10.0 s → 2.3 s, build wall 10.9 s → 7.4 s, shuffle +0.3% — the
+      // live-set size sets the young-GC pause wall that every pinned core
+      // pays; the extra partial runs are noise by comparison
       flushEntries =
-        sys.env.getOrElse("SPARK_GRAFT_FLUSH_ENTRIES", "4000000").toLong)
+        sys.env.getOrElse("SPARK_GRAFT_FLUSH_ENTRIES", "1000000").toLong)
 
     if (args.headOption.contains("profile")) {
       // Phase-profile the batched serving query at scale (SURVEY §7.5:

@@ -184,6 +184,16 @@ class EngineSpec extends AnyFunSuite {
     val exactHeads = IndexBuild.headTerms(spark, ts, cfg)
     assert(IndexBuild.sampledHeadTerms(spark, docs, cfg) == exactHeads)
 
+    // the fused pre-pass's corpus scalars == the Catalyst agg they replaced
+    val scan = IndexBuild.corpusScanWithHeads(spark, docs, cfg)
+    val row = docs.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.max($"doc_id"),
+      org.apache.spark.sql.functions.min($"doc_id")).head()
+    assert((scan.n_docs, scan.max_doc_id, scan.min_doc_id) ==
+      (row.getLong(0), row.getLong(1), row.getLong(2)))
+    assert(scan.heads == exactHeads)
+
     def norm(rows: Seq[PostingRow]) =
       rows.sortBy(r => (r.term, r.bucket))
         .map(r => (r.part_id, r.term, r.bucket, r.n, r.cf, r.min_doc,
@@ -201,5 +211,30 @@ class EngineSpec extends AnyFunSuite {
     val direct = ts.select($"term", $"df", $"cf")
       .as[(String, Long, Long)].collect().toSeq.sorted
     assert(derived == direct)
+  }
+
+  test("sampled heads (inv>1, mixed ASCII/non-ASCII) == Catalyst sample mirror") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // repeated terms per doc (doc-distinct df must not double-count),
+    // non-ASCII docs (String-fallback path), null text, and an inv that
+    // actually drops docs
+    val docs = (0L until 120L).map { d =>
+      val text =
+        if (d % 7 == 3) null
+        else if (d % 5 == 0) s"héad héad wörd$d straße" // non-ASCII fallback
+        else s"head head w$d common common tail"
+      (d, text)
+    }.toDF("doc_id", "text")
+    val cfg = IndexBuild.Config(headDf = 10, headSampleInv = 3)
+    val inv = cfg.headSampleInv
+    val mirror = docs.where(pmod($"doc_id", lit(inv)) === 0)
+      .select(explode(array_distinct(Tokenize.tokensCol($"text"))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .where($"df" * inv > cfg.headDf)
+      .select($"term").as[String].collect().toSet
+    val scan = IndexBuild.corpusScanWithHeads(spark, docs, cfg)
+    assert(scan.heads == mirror)
+    assert((scan.n_docs, scan.max_doc_id, scan.min_doc_id) == (120L, 119L, 0L))
   }
 }
