@@ -83,6 +83,19 @@ object SparkEntry {
         .select($"term", $"df").as[(String, Long)].collect().toMap
       QueryEngine.run(s, postings, QueryEngine.plan(cs, termDf))
     }),
+    // --- serving path (S9/S12 lifecycle: persist → derive → open → query):
+    // the full disk shape the bench measures — term-partitioned build,
+    // serving layout DERIVED from it (rebucket transform, no second
+    // tokenize), batched doc-partitioned WAND — under the same oracle as
+    // the in-memory path (rank-identity is layout-independent) ----------
+    "q_topk_serving" -> ((s, dir) => {
+      val root = scratchDir("serve-idx-")
+      val termDir = s"$root/term"
+      val serveDir = s"$root/serve"
+      IndexBuild.writeIndex(s, docs(s, dir), termDir, testConfig)
+      IndexBuild.deriveDocPartitioned(s, termDir, serveDir)
+      QueryEngine.runOnIndex(s, serveDir)
+    }),
     // --- index content audit (decode every posting; A1/S10 inverse) ----
     "q_postings_decode" -> ((s, dir) => {
       val (postings, _, _) = IndexBuild.buildPostings(s, docs(s, dir), testConfig)
@@ -192,6 +205,7 @@ object SparkEntry {
     "q_topk_oracle"     -> OracleSql.topkSql(),
     "q_topk_heap"       -> OracleSql.topkSql(),
     "q_topk_indexed"    -> OracleSql.topkSql(),
+    "q_topk_serving"    -> OracleSql.topkSql(),
     "q_postings_decode" -> OracleSql.postingsSql,
     "q_dedup_exact"     -> extra.OracleSqlExtra.dedupExactSql,
     "q_dedup_ngram"     -> extra.OracleSqlExtra.ngramJaccardSql(),
