@@ -584,12 +584,12 @@ object Bench {
     // per scale unit at timedReps=2, builder runs rounds 2-3) inflated by
     // the probe's contention factor, and shrink scale/timedReps BEFORE
     // the first pair when it would not fit its share.
-    // ~0.14 s of pair wall per scale unit at timedReps=2 (recalibrated
-    // after the allocation-free map pass: spawn-mode points at
-    // scale=1600/timedReps=1 measured ~75 s (c16) + ~100 s (c4) of child
-    // wall in a clean window; scaled to 3200 and best-of-2 ≈ 430 s/pair)
+    // ~0.10 s of pair wall per scale unit at timedReps=2 (recalibrated
+    // after the GC live-set fix: run-5 pairs at scale=3200 measured
+    // 207-225 s each in mixed windows ≈ 0.07/scale; 0.10 keeps mild
+    // pessimism so the pre-shrink still fires early under contention)
     val pairSecPerScale =
-      sys.env.getOrElse("SPARK_GRAFT_PAIR_SEC_PER_SCALE", "0.14").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_SEC_PER_SCALE", "0.10").toDouble
     if (probeT.contains(cpusLo) && probeT.contains(cpusHi)) {
       val contention = math.max(1.0, probeT(cpusHi) / probeT(cpusLo))
       val perPairBudget = budgetSec / outerReps
