@@ -55,6 +55,10 @@ object IndexBuild {
     *   cores, so the threshold trades GC pause wall (smaller = less live
     *   data per collection) against partial-row count (smaller = more
     *   runs per (term, bucket) through the shuffle + merge). */
+  /** @param codec posting-block codec ([[Codec.VByteId]] |
+    *   [[Codec.PForId]]). Blocks are self-describing, so the choice is a
+    *   build-time storage knob, not a format version: readers dispatch per
+    *   block and mixed-codec indexes concat-merge unchanged. */
   final case class Config(
       numPartitions: Int = 32,
       bucketWidth: Long = 128,
@@ -62,7 +66,8 @@ object IndexBuild {
       blockSize: Int = Codec.BlockSize,
       docPartitioned: Boolean = false,
       headSampleInv: Int = 1,
-      flushEntries: Long = 4L * 1000 * 1000)
+      flushEntries: Long = 4L * 1000 * 1000,
+      codec: Int = Codec.VByteId)
 
   /** Meta row persisted with the index: corpus scalars + the build config
     * (query-time pruning must use the SAME hash geometry). min/max doc_id
@@ -389,7 +394,7 @@ object IndexBuild {
       // garbage per 8M-doc build whose collection pauses idled all cores
       out += PostingRow(partId, t, b, (j - i).toLong, cf, buf.docs(i),
         Codec.encodeBlocksRange(buf.docs, buf.tfs, buf.dls, i, j,
-          cfg.blockSize, sink))
+          cfg.blockSize, sink, cfg.codec))
       i = j
     }
   }
@@ -427,18 +432,31 @@ object IndexBuild {
       * garbage). Monotonicity tracking matches [[add]]. */
     def addBlock(b: Block): Unit = {
       if (n + b.n > docs.length) grow(n + b.n)
-      val r = new Codec.Reader(b.bytes)
-      var prev = 0L
-      var i = 0
-      while (i < b.n) {
-        val g = r.readVLong()
-        prev = if (i == 0) g else prev + g
-        docs(n) = prev
-        tfs(n) = r.readVLong().toInt
-        dls(n) = r.readVLong().toInt
-        if (prev < lastDoc) needSort = true else lastDoc = prev
-        n += 1
-        i += 1
+      if (b.codec == Codec.VByteId) {
+        val r = new Codec.Reader(b.bytes)
+        var prev = 0L
+        var i = 0
+        while (i < b.n) {
+          val g = r.readVLong()
+          prev = if (i == 0) g else prev + g
+          docs(n) = prev
+          tfs(n) = r.readVLong().toInt
+          dls(n) = r.readVLong().toInt
+          if (prev < lastDoc) needSort = true else lastDoc = prev
+          n += 1
+          i += 1
+        }
+      } else {
+        // non-VByte codecs decode straight into the buffer too
+        // (decodeBlockInto), then one scan maintains the monotonicity flag
+        Codec.decodeBlockInto(b, docs, tfs, dls, n)
+        var i = 0
+        while (i < b.n) {
+          val d = docs(n + i)
+          if (d < lastDoc) needSort = true else lastDoc = d
+          i += 1
+        }
+        n += b.n
       }
     }
 
@@ -507,7 +525,8 @@ object IndexBuild {
     * (term, bucket)): k sorted runs → one sorted list → final blocks.
     * Output is bit-identical to a single-pass build (encodeBlocks over
     * the full sorted postings). */
-  def mergePartials(rows: Iterator[PostingRow], blockSize: Int): Iterator[PostingRow] =
+  def mergePartials(rows: Iterator[PostingRow], blockSize: Int,
+                    codec: Int = Codec.VByteId): Iterator[PostingRow] =
     new Iterator[PostingRow] {
       private val it = rows.buffered
       private val sink = new Codec.ByteSink()
@@ -530,7 +549,7 @@ object IndexBuild {
         PostingRow(head.part_id, head.term, head.bucket, buf.n.toLong, cf,
           buf.docs(0),
           Codec.encodeBlocksRange(buf.docs, buf.tfs, buf.dls, 0, buf.n,
-            blockSize, sink))
+            blockSize, sink, codec))
       }
     }
 
@@ -540,7 +559,7 @@ object IndexBuild {
     partials
       .repartition(cfg.numPartitions, $"part_id")
       .sortWithinPartitions($"term", $"bucket", $"min_doc")
-      .mapPartitions(it => mergePartials(it, cfg.blockSize))
+      .mapPartitions(it => mergePartials(it, cfg.blockSize, cfg.codec))
   }
 
   /** The partial→shuffle→merge posting pipeline from tf rows (merge path;

@@ -105,6 +105,19 @@ object SparkEntry {
         .select($"term", $"doc_id", $"tf", $"dl")
         .orderBy($"term", $"doc_id")
     }),
+    // PForDelta-coded build through the same full lifecycle (map-side
+    // partials → shuffle merge → decode): same postings, denser blocks —
+    // the north rule's second codec, proven against the same DuckDB
+    // tokenize-and-count oracle as q_postings_decode.
+    "q_postings_pfor" -> ((s, dir) => {
+      val (postings, _, _) = IndexBuild.buildPostings(s, docs(s, dir),
+        testConfig.copy(codec = Codec.PForId))
+      import s.implicits._
+      postings.flatMap(Codec.decodeAll _)
+        .toDF()
+        .select($"term", $"doc_id", $"tf", $"dl")
+        .orderBy($"term", $"doc_id")
+    }),
     // --- training-data pipeline: deduplication ---------------------------
     "q_dedup_exact" -> ((s, dir) => extra.Dedup.exact(docs(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => extra.Dedup.ngramJaccard(docs(s, dir))),
@@ -207,6 +220,7 @@ object SparkEntry {
     "q_topk_indexed"    -> OracleSql.topkSql(),
     "q_topk_serving"    -> OracleSql.topkSql(),
     "q_postings_decode" -> OracleSql.postingsSql,
+    "q_postings_pfor"   -> OracleSql.postingsSql,
     "q_dedup_exact"     -> extra.OracleSqlExtra.dedupExactSql,
     "q_dedup_ngram"     -> extra.OracleSqlExtra.ngramJaccardSql(),
     "q_dedup_embedding" -> extra.OracleSqlExtra.embeddingDupSql(),

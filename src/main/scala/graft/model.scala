@@ -28,7 +28,10 @@ final case class Block(
     n: Int,
     max_tf: Int,
     min_dl: Int,
-    bytes: Array[Byte]
+    bytes: Array[Byte],
+    codec: Int = 0 // Codec.VByteId | Codec.PForId — blocks self-describe,
+                   // so indexes built with different codecs concat-merge
+                   // without re-encoding (see Codec.scala)
 )
 
 /** One posting sub-list: all postings of `term` within docId bucket

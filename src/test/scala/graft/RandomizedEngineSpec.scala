@@ -33,7 +33,8 @@ class RandomizedEngineSpec extends AnyFunSuite {
         bucketWidth = 8 + rnd.nextInt(56),
         headDf = 2 + rnd.nextInt(18),
         headSampleInv = 1 + rnd.nextInt(4),
-        docPartitioned = iter % 2 == 0)
+        docPartitioned = iter % 2 == 0,
+        codec = if (rnd.nextBoolean()) Codec.PForId else Codec.VByteId)
       val queries = (1 to 4).map { qid =>
         val nt = 1 + rnd.nextInt(3)
         val ts = Seq.fill(nt)(vocab(rnd.nextInt(vocab.size))) ++
