@@ -57,6 +57,16 @@ object BenchAb {
       if (mode == "codec") {
         sizes(name) = fs.getContentSummary(
           new org.apache.hadoop.fs.Path(s"$dir/segments")).getLength
+        // raw block bytes BEFORE parquet page compression: the scaled
+        // bench corpus is an N× replica, so byte-aligned VByte streams
+        // repeat verbatim and snappy erases them; raw size is the
+        // codec-vs-codec number that transfers to non-replicated text
+        if (!sizes.contains(name + "_raw")) {
+          import spark.implicits._
+          sizes(name + "_raw") = IndexBuild.readSegments(spark, dir)
+            .map(r => r.blocks.iterator.map(_.bytes.length.toLong).sum)
+            .reduce(_ + _)
+        }
         fs.delete(new org.apache.hadoop.fs.Path(serveDir), true)
         IndexBuild.deriveDocPartitioned(spark, dir, serveDir)
         val handle = QueryEngine.openIndex(spark, serveDir)
@@ -72,7 +82,8 @@ object BenchAb {
       val ts = times(name)
       val extra =
         if (mode == "codec")
-          f" segBytes=${sizes(name)} queryBest=${qtimes(name).min}%.2fs " +
+          f" segBytes=${sizes(name)} rawBytes=${sizes(name + "_raw")} " +
+            f"queryBest=${qtimes(name).min}%.2fs " +
             f"qAll=${qtimes(name).map(t => f"$t%.1f").mkString(",")}"
         else ""
       println(f"AB $name best=${ts.min}%.2fs all=${ts.map(t => f"$t%.1f").mkString(",")}$extra")
