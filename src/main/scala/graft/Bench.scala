@@ -354,7 +354,12 @@ object Bench {
       // live-set size sets the young-GC pause wall that every pinned core
       // pays; the extra partial runs are noise by comparison
       flushEntries =
-        sys.env.getOrElse("SPARK_GRAFT_FLUSH_ENTRIES", "1000000").toLong)
+        sys.env.getOrElse("SPARK_GRAFT_FLUSH_ENTRIES", "1000000").toLong,
+      // posting-block codec: "pfor" halves raw posting bytes (1.88× at
+      // bench shape) — less shuffle + memory traffic per core, the trade
+      // that matters when the high point is bandwidth-limited
+      codec = if (sys.env.getOrElse("SPARK_GRAFT_CODEC", "vbyte") == "pfor")
+        Codec.PForId else Codec.VByteId)
 
     if (args.headOption.contains("profile")) {
       // Phase-profile the batched serving query at scale (SURVEY §7.5:
