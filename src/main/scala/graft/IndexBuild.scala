@@ -680,9 +680,19 @@ object IndexBuild {
     import spark.implicits._
     val inv = math.max(cfg.headSampleInv, 1)
     val needHeads = !cfg.docPartitioned
-    // doc-partitioned layouts never salt ⇒ scan doc_id only (text pruned)
-    val pruned = if (needHeads) docs.select($"doc_id", $"text")
-                 else docs.select($"doc_id")
+    // doc-partitioned layouts never salt ⇒ scan doc_id only (text pruned).
+    // When sampling (inv > 1), text is masked to the sampled docs AT THE
+    // PROJECTION: the pre-pass otherwise copies every doc's text bytes
+    // into its output UnsafeRows (for a generated/joined corpus that is
+    // the full text volume through the memory controller) only to skip
+    // 1−1/inv of them at the tokenizer — the when() pushes the skip into
+    // codegen so non-sampled rows carry null instead of copied bytes.
+    val pruned =
+      if (!needHeads) docs.select($"doc_id")
+      else if (inv > 1)
+        docs.select($"doc_id",
+          when($"doc_id" % inv === 0, $"text").as("text"))
+      else docs.select($"doc_id", $"text")
     val partials = pruned.queryExecution.toRdd.mapPartitions { it =>
       val map = new DfMap()
       var nDocs = 0L
@@ -876,11 +886,13 @@ object IndexBuild {
       val meta = Meta(nDocs, nTokens, maxDocId, minDocId,
         cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
         cfg.docPartitioned)
-      Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/meta")
-      val wallSec = (System.nanoTime() - t0) / 1e9
-      Seq((nDocs, nTokens, wallSec, nDocs / wallSec))
-        .toDF("n_docs", "n_postings_tokens", "wall_sec", "docs_per_sec")
-        .write.mode(SaveMode.Append).parquet(metricsDir(dir))
+      phase("commit") {
+        writeMetaFile(spark, s"$dir/stats/meta", meta)
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        appendMetricsFile(spark, metricsDir(dir),
+          s"""{"n_docs":$nDocs,"n_postings_tokens":$nTokens,""" +
+          f""""wall_sec":$wallSec%.3f,"docs_per_sec":${nDocs / wallSec}%.1f}""")
+      }
       meta
     } finally {
       postings.unpersist()
@@ -888,14 +900,61 @@ object IndexBuild {
     }
   }
 
+  /** Meta/metrics are Iceberg-style table metadata: tiny scalar records
+    * written as JSON files straight through the FileSystem (real Iceberg
+    * writes its `metadata.json` the same way) rather than 1-row parquet
+    * Spark jobs — each such job cost ~0.15 s of fixed driver time per
+    * build, pure scaling loss at high core counts (round-4 phase
+    * profile). The commit stays atomic: write to a pid-tagged temp path,
+    * then rename over the target (the parquet committer's own shape). */
+  def writeMetaFile(spark: SparkSession, path: String, meta: Meta): Unit = {
+    val json =
+      s"""{"n_docs":${meta.n_docs},"n_tokens":${meta.n_tokens},""" +
+      s""""max_doc_id":${meta.max_doc_id},"min_doc_id":${meta.min_doc_id},""" +
+      s""""num_partitions":${meta.num_partitions},"bucket_width":${meta.bucket_width},""" +
+      s""""head_df":${meta.head_df},"block_size":${meta.block_size},""" +
+      s""""doc_partitioned":${meta.doc_partitioned}}"""
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + ProcessHandle.current().pid())
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"meta commit rename $tmp -> $p failed")
+  }
+
+  /** One JSON line per build under the metrics dir (observability table;
+    * append-only, name-unique per process+timestamp). */
+  def appendMetricsFile(spark: SparkSession, dir: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$dir/build-${ProcessHandle.current().pid()}-${System.nanoTime()}.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   def readMeta(spark: SparkSession, dir: String): Meta = {
-    import spark.implicits._
-    try spark.read.parquet(s"$dir/stats/meta").as[Meta].head()
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/stats/meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      Meta(n.get("n_docs").asLong, n.get("n_tokens").asLong,
+        n.get("max_doc_id").asLong, n.get("min_doc_id").asLong,
+        n.get("num_partitions").asInt, n.get("bucket_width").asLong,
+        n.get("head_df").asLong, n.get("block_size").asInt,
+        n.get("doc_partitioned").asBoolean)
+    } catch {
+      case e: Exception =>
         throw new IllegalStateException(
           s"$dir is not a readable index of the current layout (pre-round-2 " +
-            "dirs lack min_doc_id/max_bucket; a merge killed before its " +
+            "dirs lack min_doc_id/max_bucket; pre-round-4 dirs store meta " +
+            "as a parquet dir, not a JSON file; a merge killed before its " +
             "meta-last commit leaves no meta at all) — rebuild with " +
             "IndexBuild.writeIndex or re-run the merge", e)
     }
@@ -950,7 +1009,7 @@ object IndexBuild {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
       val meta = srcMeta.copy(doc_partitioned = true)
-      Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
+      writeMetaFile(spark, s"$outDir/stats/meta", meta)
       meta
     } finally { derived.unpersist(); () }
   }

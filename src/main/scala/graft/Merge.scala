@@ -133,7 +133,7 @@ object Merge {
       // max_bucket describes the output layout for query routing.
       writeStatsFromPostings(postings.toDF(), outDir)
     } finally { postings.unpersist(); () }
-    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
+    IndexBuild.writeMetaFile(spark, s"$outDir/stats/meta", meta)
     meta
   }
 
@@ -183,7 +183,7 @@ object Merge {
         .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
       writeStatsFromPostings(postings.toDF(), outDir)
     } finally postings.unpersist()
-    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/meta")
+    IndexBuild.writeMetaFile(spark, s"$outDir/stats/meta", meta)
     meta
   }
 }
