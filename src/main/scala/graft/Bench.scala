@@ -426,6 +426,19 @@ object Bench {
       else choosePoints()
     val cpusLo = sys.env.get("SPARK_GRAFT_CPUS_LO").map(_.toInt).getOrElse(probeLo)
     val cpusHi = sys.env.get("SPARK_GRAFT_CPUS_HI").map(_.toInt).getOrElse(probeHi)
+    // Supplementary HALF-PIN pair (same 4× ratio, half the cores): the
+    // top pin (4→16 on this host) saturates the box's single memory
+    // controller — ~20-25% cpu inflation at c16 (BASELINE.md round-4
+    // profile) that on a real cluster is per-NODE and scales WITH
+    // executors. A same-run pair that stays under the bandwidth ceiling
+    // (2→8 when the main pair is 4→16) is therefore emitted alongside as
+    // the better N→4N node-scaling proxy; the main pair remains the
+    // headline. Distinct rep tags (300+) keep these windows out of the
+    // main pairing.
+    val altPairOpt: Option[(Int, Int)] =
+      if (cpusLo >= 2 && sys.env.getOrElse("SPARK_GRAFT_BENCH_ALT_REPS", "2").toInt > 0)
+        Some((cpusLo / 2, cpusHi / 2))
+      else None
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     // Alternating child JVMs, best-of-N per point (kills order bias; N
@@ -508,13 +521,15 @@ object Bench {
       // *_paired_best; the capped median and the full per-pair table are
       // emitted so the consumer sees the distribution, not one scalar.
       val byRep = ok.groupBy(_._1)
-      val pairedEff: Seq[(Int, Double, Double, Long)] = byRep.toSeq.sortBy(_._1).flatMap { case (rep, reps) =>
-        for {
-          hi <- reps.collectFirst { case (_, p) if p.cpus == cpusHi => p }
-          lo <- reps.collectFirst { case (_, p) if p.cpus == cpusLo => p }
-        } yield (rep, (hi.docsPerSec / lo.docsPerSec) / ratio,
-          (lo.secPerQuery / hi.secPerQuery) / ratio, hi.nDocs)
-      }
+      def pairedFor(loC: Int, hiC: Int): Seq[(Int, Double, Double, Long)] =
+        byRep.toSeq.sortBy(_._1).flatMap { case (rep, reps) =>
+          for {
+            hi <- reps.collectFirst { case (_, p) if p.cpus == hiC => p }
+            lo <- reps.collectFirst { case (_, p) if p.cpus == loC => p }
+          } yield (rep, (hi.docsPerSec / lo.docsPerSec) / (hiC.toDouble / loC),
+            (lo.secPerQuery / hi.secPerQuery) / (hiC.toDouble / loC), hi.nDocs)
+        }
+      val pairedEff: Seq[(Int, Double, Double, Long)] = pairedFor(cpusLo, cpusHi)
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted; val n = s.size
         if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
@@ -545,8 +560,28 @@ object Bench {
         if (probeT.contains(cpusLo) && probeT.contains(cpusHi))
           Seq("probe_efficiency_ceiling" -> f(probeT(cpusLo) / probeT(cpusHi)))
         else Seq.empty
+      // Supplementary half-pin pairs (see altPairOpt above): same-window
+      // pairs at half the cores, emitted with core-count-tagged keys so
+      // the consumer can compare the bandwidth-limited top pin with the
+      // under-the-ceiling pin in ONE artifact.
+      val altEntries: Seq[(String, Double)] = altPairOpt.toSeq.flatMap { case (aLo, aHi) =>
+        val ap = pairedFor(aLo, aHi)
+        if (ap.isEmpty) Seq.empty
+        else {
+          val tag = s"c${aLo}_$aHi"
+          axisEntries(s"build_$tag", ap.map(_._2)) ++
+            axisEntries(s"query_$tag", ap.map(_._3)) ++
+            pointEntries(aLo, best(aLo)) ++ pointEntries(aHi, best(aHi)) ++
+            Seq(s"n_pairs_$tag" -> ap.size.toDouble) ++
+            ap.flatMap { case (rep, b, q, nd) => Seq(
+              s"pair_${rep}_build_eff" -> f(b),
+              s"pair_${rep}_query_eff" -> f(q),
+              s"pair_${rep}_n_docs" -> nd.toDouble)
+            }
+        }
+      }
       val allNDocs = ok.map(_._2.nDocs)
-      val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ pairedEntries ++ ceilingEntries ++ Seq(
+      val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ pairedEntries ++ ceilingEntries ++ altEntries ++ Seq(
         "n_docs_indexed" -> (if (allNDocs.isEmpty) 0.0 else allNDocs.max.toDouble),
         "scale_shrunk" -> (if (allNDocs.nonEmpty && allNDocs.min != allNDocs.max) 1.0 else 0.0),
         "nq" -> (QuerySet.queries.size * nReps).toDouble,
@@ -613,23 +648,15 @@ object Bench {
       .count(reps => reps.exists(_._2.cpus == cpusHi) && reps.exists(_._2.cpus == cpusLo))
     var rep = 0
     var lastPairSec = Double.MaxValue
-    // Opportunistic extra pairs: once the planned outerReps pairs are in,
-    // keep alternating while the next pair (estimated from the last one,
-    // +15%) still fits inside 92% of the budget, up to maxReps. The
-    // paired-best estimator takes max over CLEAN pairs, so extra windows
-    // only ever help — each one is another chance to catch the host in a
-    // quiet moment (round-4: the serving derivation cut pairs to ~235 s,
-    // so a 2700 s budget fits ~8, not 3).
+    // Planned pairs first. Continue past the budget (bounded at 1.25×, at
+    // minScale, one timed rep) until at least TWO same-window pairs
+    // exist: a single pair is a point estimate with no window-noise
+    // protection (round-2 postmortem), and a minScale pair costs 1/16 of
+    // a planned one. The 1.25× cap protects the artifact itself — a run
+    // the driver kills prints no JSON at all (the file mirror below is
+    // the last resort).
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "8").toInt
-    // Continue past the budget (bounded at 1.25×, at minScale, one timed
-    // rep) until at least TWO same-window pairs exist: a single pair is a
-    // point estimate with no window-noise protection (round-2 postmortem),
-    // and a minScale pair costs 1/16 of a planned one. The 1.25× cap
-    // protects the artifact itself — a run the driver kills prints no
-    // JSON at all (the file mirror below is the last resort).
-    def wantMore: Boolean = rep < outerReps ||
-      (rep < maxReps && nPairs >= 1 && elapsed + lastPairSec * 1.15 < budgetSec * 0.92)
-    while (wantMore && (rep == 0 || nOk(cpusLo) == 0 || nOk(cpusHi) == 0 ||
+    while (rep < outerReps && (rep == 0 || nOk(cpusLo) == 0 || nOk(cpusHi) == 0 ||
       elapsed < budgetSec || (nPairs < 2 && elapsed < budgetSec * 1.25))) {
       if (elapsed >= budgetSec) { curScale = minScale; curTimed = 1 }
       val repStart = elapsed
@@ -663,6 +690,38 @@ object Bench {
           }
         }
       }
+      rep += 1
+    }
+    // Supplementary half-pin pairs (see altPairOpt): run AFTER the planned
+    // main pairs, BEFORE opportunistic main extras — the half pin's
+    // under-the-bandwidth-ceiling reading is worth more than a fourth
+    // main-pin window. timedReps=1: the half-pin lo child is ~2× slower
+    // per build and the pair is a ratio within one window anyway.
+    val altReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ALT_REPS", "2").toInt
+    altPairOpt.foreach { case (aLo, aHi) =>
+      var a = 0
+      while (a < altReps && elapsed + lastPairSec * 1.3 < budgetSec * 0.92) {
+        val t = elapsed
+        attempt(aHi, 300 + a, curScale, 1)
+        attempt(aLo, 300 + a, curScale, 1)
+        writeJsonFile()
+        lastPairSec = math.max(lastPairSec, elapsed - t)
+        a += 1
+      }
+    }
+    // Opportunistic extra MAIN pairs: keep alternating while the next
+    // pair (estimated from the last one, +15%) still fits inside 92% of
+    // the budget, up to maxReps. The paired-best estimator takes max over
+    // CLEAN pairs, so extra windows only ever help — each one is another
+    // chance to catch the host in a quiet moment (round-4: the serving
+    // derivation cut pairs to ~235 s, so a 2700 s budget fits ~8).
+    while (rep < maxReps && nPairs >= 1 &&
+      elapsed + lastPairSec * 1.15 < budgetSec * 0.92) {
+      val t = elapsed
+      attempt(cpusHi, rep, curScale, curTimed)
+      attempt(cpusLo, rep, curScale, curTimed)
+      writeJsonFile()
+      lastPairSec = elapsed - t
       rep += 1
     }
     // Per-point salvage retries: a point with zero successes gets up to 2
