@@ -827,77 +827,76 @@ object IndexBuild {
     val partials0 = partialPostingsFromDocs(spark, docs, heads, cfg)
     val partials = if (done.isEmpty) partials0
                    else partials0.where(!$"part_id".isin(done.toSeq: _*))
-    val postings = shuffleMerge(partials, cfg).persist()
-    try {
-      phase("segments-write") {
-        postings.write
-          .mode(SaveMode.Overwrite) // dynamic mode: only touched part_ids replaced
-          .partitionBy("part_id")
-          .parquet(segmentsDir(dir))
-      }
-      // Stats derive from the COMPLETE index (covers resumed partitions
-      // too): df = Σ n, cf = Σ tf per term — exact, no block decode, no
-      // second tokenize pass. max_bucket records the ACTUAL salting the
-      // build applied (max docId bucket per term): query routing prunes
-      // from it instead of re-deriving head-ness from df, so a sampled
-      // head estimate that disagrees with exact df can never strand
-      // postings in unread buckets. Fresh builds aggregate the persisted
-      // postings in memory; resumed builds re-read the segments so the
-      // stats always describe everything on disk (S7/S8 analog).
-      //
-      // The stats and manifest aggregations are INDEPENDENT vocab-sized
-      // jobs over the same persisted postings — run concurrently (the
-      // scheduler interleaves their tasks), halving a tail latency that
-      // is mostly fixed job overhead and thus pure scaling loss at high
-      // core counts. Ordering contract kept: manifest (the per-partition
-      // commit point) is awaited before it is written, and meta — the
-      // open-gate — is still written after both.
-      val statsSrc = if (done.isEmpty) postings.toDF()
-                     else spark.read.parquet(segmentsDir(dir))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fStats = Future {
-        phase("stats") {
-          termStatsFromPostings(statsSrc)
-            .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
-        }
-      }
-      // Manifest rows for the partitions THIS run built, appended LAST
-      // (atomic per-partition commit point). On fresh builds n_tokens =
-      // Σ cf over these P driver-side rows — no extra job; a resumed
-      // build re-aggregates the segments (rare path, one small job).
-      val gapTokens = phase("manifest") {
-        val manifest = postings.groupBy($"part_id")
-          .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"),
-            sum($"cf").as("cf_sum"))
-          .collect().toSeq
-        if (manifest.nonEmpty)
-          manifest.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-            .toDF("part_id", "n_lists", "n_postings")
-            .coalesce(1)
-            .write.mode(SaveMode.Append).parquet(manifestDir(dir))
-        manifest.map(_.getLong(3)).sum
-      }
-      Await.result(fStats, Duration.Inf)
-      val nTokens =
-        if (done.isEmpty) gapTokens
-        else spark.read.parquet(segmentsDir(dir)).agg(sum($"cf")).head().getLong(0)
-      val meta = Meta(nDocs, nTokens, maxDocId, minDocId,
-        cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
-        cfg.docPartitioned)
-      phase("commit") {
-        writeMetaFile(spark, s"$dir/stats/meta", meta)
-        val wallSec = (System.nanoTime() - t0) / 1e9
-        appendMetricsFile(spark, metricsDir(dir),
-          s"""{"n_docs":$nDocs,"n_postings_tokens":$nTokens,""" +
-          f""""wall_sec":$wallSec%.3f,"docs_per_sec":${nDocs / wallSec}%.1f}""")
-      }
-      meta
-    } finally {
-      postings.unpersist()
-      ()
+    val postings = shuffleMerge(partials, cfg)
+    phase("segments-write") {
+      postings.write
+        .mode(SaveMode.Overwrite) // dynamic mode: only touched part_ids replaced
+        .partitionBy("part_id")
+        .parquet(segmentsDir(dir))
     }
+    // Stats derive from the COMPLETE index (covers resumed partitions
+    // too): df = Σ n, cf = Σ tf per term — exact, no block decode, no
+    // second tokenize pass. max_bucket records the ACTUAL salting the
+    // build applied (max docId bucket per term): query routing prunes
+    // from it instead of re-deriving head-ness from df, so a sampled
+    // head estimate that disagrees with exact df can never strand
+    // postings in unread buckets.
+    //
+    // Both aggregations read the JUST-WRITTEN segments, not a persisted
+    // copy of the pipeline output: neither touches the `blocks` binary
+    // column, so parquet column pruning feeds them a few small columns
+    // of ~vocab-sized rows — whereas persist() materialized EVERY column
+    // (blocks are the bulk of the index) into executor memory during the
+    // hot write pass just to serve these two tails. Dropping the cache
+    // removes that copy from the timed path; the parquet re-read is
+    // page-cache-resident and block-pruned. It also unifies the fresh
+    // and resumed stats paths (both describe everything on disk).
+    //
+    // The stats and manifest aggregations are INDEPENDENT vocab-sized
+    // jobs — run concurrently (the scheduler interleaves their tasks),
+    // halving a tail latency that is mostly fixed job overhead and thus
+    // pure scaling loss at high core counts. Ordering contract kept:
+    // manifest (the per-partition commit point) is awaited before it is
+    // written, and meta — the open-gate — is still written after both.
+    val statsSrc = spark.read.parquet(segmentsDir(dir))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fStats = Future {
+      phase("stats") {
+        termStatsFromPostings(statsSrc)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats/terms")
+      }
+    }
+    // Manifest rows for the partitions THIS run built (done parts keep
+    // their existing rows), appended LAST (atomic per-partition commit
+    // point). n_tokens = Σ cf over ALL partitions — P driver-side rows,
+    // no extra job.
+    val nTokens = phase("manifest") {
+      val all = statsSrc.groupBy($"part_id")
+        .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"),
+          sum($"cf").as("cf_sum"))
+        .collect().toSeq
+      val fresh = all.filterNot(r => done.contains(r.getInt(0)))
+      if (fresh.nonEmpty)
+        fresh.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .toDF("part_id", "n_lists", "n_postings")
+          .coalesce(1)
+          .write.mode(SaveMode.Append).parquet(manifestDir(dir))
+      all.map(_.getLong(3)).sum
+    }
+    Await.result(fStats, Duration.Inf)
+    val meta = Meta(nDocs, nTokens, maxDocId, minDocId,
+      cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
+      cfg.docPartitioned)
+    phase("commit") {
+      writeMetaFile(spark, s"$dir/stats/meta", meta)
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      appendMetricsFile(spark, metricsDir(dir),
+        s"""{"n_docs":$nDocs,"n_postings_tokens":$nTokens,""" +
+        f""""wall_sec":$wallSec%.3f,"docs_per_sec":${nDocs / wallSec}%.1f}""")
+    }
+    meta
   }
 
   /** Meta/metrics are Iceberg-style table metadata: tiny scalar records
@@ -998,20 +997,20 @@ object IndexBuild {
       .map(r => r.copy(part_id = r.bucket % p))
       .repartition(p, $"part_id")
       .sortWithinPartitions($"term", $"bucket", $"min_doc")
-      .persist()
-    try {
-      derived.write.mode(SaveMode.Overwrite).partitionBy("part_id")
-        .parquet(segmentsDir(outDir))
-      termStatsFromPostings(derived.toDF())
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
-      derived.groupBy($"part_id")
-        .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
-      val meta = srcMeta.copy(doc_partitioned = true)
-      writeMetaFile(spark, s"$outDir/stats/meta", meta)
-      meta
-    } finally { derived.unpersist(); () }
+    derived.write.mode(SaveMode.Overwrite).partitionBy("part_id")
+      .parquet(segmentsDir(outDir))
+    // stats/manifest from the just-written segments (block-pruned parquet
+    // read), not a persisted copy — same reasoning as writeIndex
+    val written = spark.read.parquet(segmentsDir(outDir))
+    termStatsFromPostings(written)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
+    written.groupBy($"part_id")
+      .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
+    val meta = srcMeta.copy(doc_partitioned = true)
+    writeMetaFile(spark, s"$outDir/stats/meta", meta)
+    meta
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
