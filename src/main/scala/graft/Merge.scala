@@ -121,18 +121,18 @@ object Merge {
       .repartition(meta.num_partitions, $"part_id")
       .sortWithinPartitions($"term", $"bucket", $"min_doc")
       .mapPartitions(concatSegments _)
-      .persist()
-    try {
-      postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")
-        .parquet(IndexBuild.segmentsDir(outDir))
-      postings.groupBy($"part_id")
-        .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
-        .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
-      // stats from the MERGED postings (same aggregation as writeIndex):
-      // df/cf equal the full-outer-join stats merge by construction, and
-      // max_bucket describes the output layout for query routing.
-      writeStatsFromPostings(postings.toDF(), outDir)
-    } finally { postings.unpersist(); () }
+    postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")
+      .parquet(IndexBuild.segmentsDir(outDir))
+    // manifest/stats from the just-written segments (block-pruned parquet
+    // read), not a persisted copy — same reasoning as writeIndex. Stats
+    // use the SAME aggregation as writeIndex: df/cf equal the full-outer-
+    // join stats merge by construction, and max_bucket describes the
+    // output layout for query routing.
+    val written = spark.read.parquet(IndexBuild.segmentsDir(outDir))
+    written.groupBy($"part_id")
+      .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
+      .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
+    writeStatsFromPostings(written, outDir)
     IndexBuild.writeMetaFile(spark, s"$outDir/stats/meta", meta)
     meta
   }
@@ -171,18 +171,17 @@ object Merge {
     val tf = dirs.map(decodedPostings(spark, _)).reduce(_ unionByName _)
     val postings = IndexBuild.postingsPipeline(spark, tf,
       IndexBuild.headTerms(spark, ts, cfg), cfg)
-      .persist()
-    try {
-      // segments + manifest first, stats next, meta LAST (commit point) —
-      // a merge that dies mid-write must not leave an openable index
-      // with missing segments
-      postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")
-        .parquet(IndexBuild.segmentsDir(outDir))
-      postings.groupBy($"part_id")
-        .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
-        .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
-      writeStatsFromPostings(postings.toDF(), outDir)
-    } finally postings.unpersist()
+    // segments + manifest first, stats next, meta LAST (commit point) —
+    // a merge that dies mid-write must not leave an openable index
+    // with missing segments. Manifest/stats read the just-written
+    // segments (block-pruned) rather than a persisted pipeline copy.
+    postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")
+      .parquet(IndexBuild.segmentsDir(outDir))
+    val written = spark.read.parquet(IndexBuild.segmentsDir(outDir))
+    written.groupBy($"part_id")
+      .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
+      .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
+    writeStatsFromPostings(written, outDir)
     IndexBuild.writeMetaFile(spark, s"$outDir/stats/meta", meta)
     meta
   }

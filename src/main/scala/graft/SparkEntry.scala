@@ -96,6 +96,21 @@ object SparkEntry {
       IndexBuild.deriveDocPartitioned(s, termDir, serveDir)
       QueryEngine.runOnIndex(s, serveDir)
     }),
+    // --- merge lifecycle (J5, the north-star multi-pass merge: full-outer
+    // stats join + re-salted posting rebuild): the corpus split into two
+    // disjoint docId intervals, each built to disk independently, merged
+    // with mergeIndexes, then queried through the MERGED index — under
+    // the same DuckDB top-k oracle as the direct paths, because a merge
+    // must be invisible to ranking --------------------------------------
+    "q_topk_merged" -> ((s, dir) => {
+      val root = scratchDir("merge-idx-")
+      val d = docs(s, dir)
+      val mid = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      IndexBuild.writeIndex(s, d.where(col("doc_id") <= mid), s"$root/lo", testConfig)
+      IndexBuild.writeIndex(s, d.where(col("doc_id") > mid), s"$root/hi", testConfig)
+      Merge.mergeIndexes(s, Seq(s"$root/lo", s"$root/hi"), s"$root/merged")
+      QueryEngine.runOnIndex(s, s"$root/merged")
+    }),
     // --- index content audit (decode every posting; A1/S10 inverse) ----
     "q_postings_decode" -> ((s, dir) => {
       val (postings, _, _) = IndexBuild.buildPostings(s, docs(s, dir), testConfig)
@@ -219,6 +234,7 @@ object SparkEntry {
     "q_topk_heap"       -> OracleSql.topkSql(),
     "q_topk_indexed"    -> OracleSql.topkSql(),
     "q_topk_serving"    -> OracleSql.topkSql(),
+    "q_topk_merged"     -> OracleSql.topkSql(),
     "q_postings_decode" -> OracleSql.postingsSql,
     "q_postings_pfor"   -> OracleSql.postingsSql,
     "q_dedup_exact"     -> extra.OracleSqlExtra.dedupExactSql,
