@@ -83,72 +83,165 @@ object QueryEngine {
     Plan(k, cs.avgdl, idf, t2q, qts)
   }
 
+  /** Carried per-query top-k under the frozen (score DESC, doc_id ASC)
+    * order: a sorted prefix of length `n` maintained by shift-insert (k is
+    * small). The scorer SEEDS its selection with this state, which (a)
+    * makes the cross-bucket merge free — offering into the carried heap IS
+    * the merge, so the per-(query, bucket) `mergeTopK` + Vector allocation
+    * disappear — and (b) turns the carried k-th score into a θ floor every
+    * scorer path can reject against with one compare. Exactness: a doc
+    * rejected by `offer` has (score, doc) strictly dominated by the current
+    * k-th, and the final k-th only rises, so the reject can never exclude a
+    * true top-k member (the reference's partial_sort + threshold argument,
+    * `src/index_ivf.cpp:220-234`). */
+  final class QueryHeap(val k: Int) {
+    val hScore = new Array[Long](k)
+    val hDoc = new Array[Long](k)
+    var n = 0
+    /** Current k-th score — the θ floor (MinValue until the heap fills). */
+    def kth: Long = if (n == k) hScore(k - 1) else Long.MinValue
+    def offer(s: Long, d: Long): Unit = {
+      if (n == k && (s < hScore(n - 1) ||
+          (s == hScore(n - 1) && d > hDoc(n - 1)))) return
+      var pos = if (n < k) n else n - 1
+      while (pos > 0 && (hScore(pos - 1) < s ||
+          (hScore(pos - 1) == s && hDoc(pos - 1) > d))) {
+        if (pos < k) { hScore(pos) = hScore(pos - 1); hDoc(pos) = hDoc(pos - 1) }
+        pos -= 1
+      }
+      hScore(pos) = s; hDoc(pos) = d
+      if (n < k) n += 1
+    }
+    def toCands: Seq[TopK.Cand] = {
+      val b = Vector.newBuilder[TopK.Cand]
+      var i = 0
+      while (i < n) { b += TopK.Cand(hDoc(i), hScore(i)); i += 1 }
+      b.result()
+    }
+  }
+
   /** Batched per-bucket scorer: shared-contribution term-at-a-time.
     *
     * Per bucket: decode each term's postings ONCE and precompute its
     * integer micro-contributions ONCE (every query using the term reuses
     * them — the whole-batch analog of the reference's per-query DTable);
-    * then each query accumulates sparse integer adds into a dense
-    * bucket-width array (stamp-cleared, reused across queries/buckets)
-    * and takes its bounded top-k. Exhaustive within the bucket ⇒ exactly
-    * the integer-micro scores of the oracle; preferable to per-query WAND
-    * when nq is large and terms are head-heavy (no cursor machinery, no
-    * per-query re-decode, branch-free inner loops). */
+    * then each query scores its lists into its carried [[QueryHeap]].
+    * Exhaustive within the bucket ⇒ exactly the integer-micro scores of
+    * the oracle; preferable to per-query WAND when nq is large and terms
+    * are head-heavy (no cursor machinery, no per-query re-decode,
+    * branch-free inner loops).
+    *
+    * Three accumulation shapes, picked per (query, bucket) — all exact,
+    * differing only in constant factors (the round-4 phase profile put
+    * this accumulate+select phase at 92% of query task time, 6.4e9
+    * touched-doc operations at 8M docs / nq=1000):
+    *  - ONE list present → no accumulator at all: stream the list
+    *    straight into the heap (one θ compare per posting).
+    *  - Σ list lengths ≥ width (the webtext regime — head terms put ~77%
+    *    of the bucket in every list) → DENSE: branch-free `+=` into a
+    *    zeroed width array, then one sequential scan. Each add carries
+    *    [[DenseTag]] in the high bits so a doc whose contributions sum to
+    *    0 micros is still distinguishable from an untouched slot (df≈N
+    *    terms at huge N can floor to 0 — rank-identity cannot depend on
+    *    contribs being nonzero).
+    *  - otherwise → SPARSE: the stamp-cleared scatter of rounds 1-3
+    *    (cost ∝ touched docs, not width). */
   final class BucketTaat(width: Int, k: Int) {
     private val scores = new Array[Long](width)
     private val stamp = new Array[Int](width)
     private val touched = new Array[Int](width)
     private var curStamp = 0
-    // reused primitive top-k buffers: the selection phase runs once per
-    // TOUCHED DOC (6.4e9 times in the 8M-doc/nq=1000 profile) — a
-    // Cand-allocating Vector insert there was 96% of query task time;
-    // a shift-insert over two reused arrays allocates nothing until the
-    // final k winners materialize
-    private val kScore = new Array[Long](k)
-    private val kIdx = new Array[Int](k)
+    // gathered per-call list references (grown on demand; no per-call alloc)
+    private var gIdx = new Array[Array[Int]](8)
+    private var gCs = new Array[Array[Long]](8)
 
-    /** termLists: per term of this bucket, (docIdx within bucket, contribMicro). */
+    /** termLists: per term of this bucket, (docIdx within bucket, contribMicro).
+      * Scores every posting of `queryTerms` present in this bucket into
+      * `heap` (doc ids globalized with `base`). Returns touched-doc count. */
     def score(queryTerms: Seq[String],
-              termLists: scala.collection.Map[String, (Array[Int], Array[Long])]): (Seq[TopK.Cand], Int) = {
-      curStamp += 1
-      var nTouched = 0
+              termLists: scala.collection.Map[String, (Array[Int], Array[Long])],
+              base: Long, heap: QueryHeap): Int = {
+      var nl = 0
+      var total = 0
+      if (gIdx.length < queryTerms.size) {
+        gIdx = new Array[Array[Int]](queryTerms.size)
+        gCs = new Array[Array[Long]](queryTerms.size)
+      }
       queryTerms.foreach { t =>
-        termLists.get(t).foreach { case (idxs, cs) =>
-          var i = 0
-          while (i < idxs.length) {
-            val ix = idxs(i)
-            if (stamp(ix) != curStamp) {
-              stamp(ix) = curStamp; scores(ix) = cs(i); touched(nTouched) = ix; nTouched += 1
-            } else scores(ix) += cs(i)
-            i += 1
-          }
+        termLists.get(t) match {
+          case Some((idxs, cs)) =>
+            gIdx(nl) = idxs; gCs(nl) = cs; nl += 1; total += idxs.length
+          case None =>
         }
       }
-      // bounded selection under the frozen (score DESC, idx ASC) order —
-      // idx order == doc_id order within a bucket (doc_id = base + idx)
-      var kn = 0
+      if (nl == 0) 0
+      else if (nl == 1) scoreSingle(gIdx(0), gCs(0), base, heap)
+      else if (total >= width) scoreDense(nl, base, heap)
+      else scoreSparse(nl, base, heap)
+    }
+
+    /** One list: the list IS the score column — stream it into the heap. */
+    private def scoreSingle(idxs: Array[Int], cs: Array[Long],
+                            base: Long, heap: QueryHeap): Int = {
+      var i = 0
+      val n = idxs.length
+      while (i < n) { heap.offer(cs(i), base + idxs(i)); i += 1 }
+      n
+    }
+
+    // Tag added once per accumulated posting: keeps every touched slot
+    // nonzero (scores fit far below bit 42: ≤ ~4e7 micros/term, and the
+    // tag count is the per-doc matched-list count ≤ nl < 2^20).
+    private val DenseTag = 1L << 42
+    private val DenseMask = DenseTag - 1
+
+    private def scoreDense(nl: Int, base: Long, heap: QueryHeap): Int = {
+      require(nl < (1 << 20), s"dense scorer supports < 2^20 lists, got $nl")
+      java.util.Arrays.fill(scores, 0L)
+      var li = 0
+      while (li < nl) {
+        val idxs = gIdx(li)
+        val cs = gCs(li)
+        var i = 0
+        val n = idxs.length
+        while (i < n) { scores(idxs(i)) += cs(i) + DenseTag; i += 1 }
+        li += 1
+      }
+      var cand = 0
+      var d = 0
+      while (d < width) {
+        val v = scores(d)
+        if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
+        d += 1
+      }
+      cand
+    }
+
+    private def scoreSparse(nl: Int, base: Long, heap: QueryHeap): Int = {
+      curStamp += 1
+      var nTouched = 0
+      var li = 0
+      while (li < nl) {
+        val idxs = gIdx(li)
+        val cs = gCs(li)
+        var i = 0
+        val n = idxs.length
+        while (i < n) {
+          val ix = idxs(i)
+          if (stamp(ix) != curStamp) {
+            stamp(ix) = curStamp; scores(ix) = cs(i); touched(nTouched) = ix; nTouched += 1
+          } else scores(ix) += cs(i)
+          i += 1
+        }
+        li += 1
+      }
       var j = 0
       while (j < nTouched) {
         val ix = touched(j)
-        val s = scores(ix)
-        if (kn < k || s > kScore(kn - 1) ||
-            (s == kScore(kn - 1) && ix < kIdx(kn - 1))) {
-          // find insertion point (k is small; linear from the tail)
-          var pos = if (kn < k) kn else kn - 1
-          while (pos > 0 && (kScore(pos - 1) < s ||
-              (kScore(pos - 1) == s && kIdx(pos - 1) > ix))) {
-            if (pos < k) { kScore(pos) = kScore(pos - 1); kIdx(pos) = kIdx(pos - 1) }
-            pos -= 1
-          }
-          kScore(pos) = s; kIdx(pos) = ix
-          if (kn < k) kn += 1
-        }
+        heap.offer(scores(ix), base + ix)
         j += 1
       }
-      val out = Vector.newBuilder[TopK.Cand]
-      var m = 0
-      while (m < kn) { out += TopK.Cand(kIdx(m).toLong, kScore(m)); m += 1 }
-      (out.result(), nTouched) // doc_id is the IN-BUCKET index; caller adds the base
+      nTouched
     }
   }
 
@@ -398,7 +491,7 @@ object QueryEngine {
         // would provably no-op under the frozen (score DESC, doc_id ASC)
         // order — the reference's block-max pruning argument
         // (`src/index_ivf.cpp:220-234` partial_sort + threshold).
-        val heaps = scala.collection.mutable.HashMap.empty[Int, Seq[TopK.Cand]]
+        val heaps = scala.collection.mutable.HashMap.empty[Int, QueryHeap]
         var decodeNs = 0L; var contribNs = 0L; var scoreNs = 0L
         byBucket.foreach { case (bucket, termRows) =>
           val base = bucket.toLong * w
@@ -444,20 +537,18 @@ object QueryEngine {
             a.blocksDecoded.add(bucketBlocks)
           }
           queriesHere.foreach { qid =>
-            val heap = heaps.getOrElse(qid, Vector.empty)
+            val heap = heaps.getOrElseUpdate(qid, new QueryHeap(p.k))
             var bound = 0L
             p.queryTermSets(qid).foreach(t => bound += maxC.getOrElse(t, 0L))
-            if (heap.length == p.k && bound < heap.last.score_micro) {
+            if (heap.n == p.k && bound < heap.kth) {
               effort.foreach(_.bucketsSkipped.add(1L)) // provably fruitless
             } else {
               val t0 = if (prof) System.nanoTime() else 0L
-              val (cands, nTouched) = taat.score(p.queryTermSets(qid), termLists)
+              val nTouched = taat.score(p.queryTermSets(qid), termLists, base, heap)
               effort.foreach { a =>
                 scoreNs += System.nanoTime() - t0
                 a.wandCalls.add(1L); a.docsScored.add(nTouched.toLong)
               }
-              heaps(qid) = TopK.mergeTopK(heap,
-                cands.map(c => TopK.Cand(base + c.doc_id, c.score_micro)), p.k)
             }
           }
         }
@@ -467,7 +558,7 @@ object QueryEngine {
         }
         // one bounded partial per (task, query) — fewer merge rows than
         // the per-bucket emission this replaces
-        heaps.iterator
+        heaps.iterator.map { case (qid, h) => (qid, h.toCands) }
       }
     // Final merge. The partials are BOUNDED: one row per (task, query),
     // each ≤ k cands — at most shufflePartitions·nq·k candidate rows.
