@@ -521,44 +521,79 @@ object Bench {
       // *_paired_best; the capped median and the full per-pair table are
       // emitted so the consumer sees the distribution, not one scalar.
       val byRep = ok.groupBy(_._1)
-      def pairedFor(loC: Int, hiC: Int): Seq[(Int, Double, Double, Long)] =
+      def pairedFor(loC: Int, hiC: Int): Seq[(Int, Point, Point)] =
         byRep.toSeq.sortBy(_._1).flatMap { case (rep, reps) =>
           for {
             hi <- reps.collectFirst { case (_, p) if p.cpus == hiC => p }
             lo <- reps.collectFirst { case (_, p) if p.cpus == loC => p }
-          } yield (rep, (hi.docsPerSec / lo.docsPerSec) / (hiC.toDouble / loC),
-            (lo.secPerQuery / hi.secPerQuery) / (hiC.toDouble / loC), hi.nDocs)
+          } yield (rep, lo, hi)
         }
-      val pairedEff: Seq[(Int, Double, Double, Long)] = pairedFor(cpusLo, cpusHi)
+      val pairedEff: Seq[(Int, Point, Point)] = pairedFor(cpusLo, cpusHi)
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted; val n = s.size
         if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
       }
-      def axisEntries(axis: String, vals: Seq[Double]): Seq[(String, Double)] = {
+      def buildEff(lo: Point, hi: Point): Double =
+        (hi.docsPerSec / lo.docsPerSec) / (hi.cpus.toDouble / lo.cpus)
+      def queryEff(lo: Point, hi: Point): Double =
+        (lo.secPerQuery / hi.secPerQuery) / (hi.cpus.toDouble / lo.cpus)
+      // Contention on EITHER point of a pair corrupts the ratio: a slow LO
+      // inflates it (round-3's impossible 1.61), a slow HI deflates it
+      // (run 13's 0.50 pair late in a degrading window). Both are the
+      // neighbors, not the engine. A point that ran > trimF slower
+      // (scale-normalized rate) than the best same-config point OF THE
+      // SAME RUN demonstrably hit a contended window — on a quiet host the
+      // trim never fires. The trimmed median is emitted ALONGSIDE the raw
+      // best/median and the full per-pair table (rates included), so
+      // nothing is hidden and the consumer can re-derive any stat.
+      val trimF = sys.env.getOrElse("SPARK_GRAFT_TRIM_FACTOR", "1.4").toDouble
+      def axisEntries(axis: String, pairs: Seq[(Int, Point, Point)],
+                      eff: (Point, Point) => Double,
+                      rate: Point => Double): Seq[(String, Double)] = {
+        val vals = pairs.map(p => eff(p._2, p._3))
         // pairs > 1.0 are contaminated BY CONSTRUCTION (super-linear N→4N
         // scaling of a fixed-decomposition job is impossible) — excluded
         // from best AND median alike (run 11: leaving them in published a
         // capped 1.0 "median" from a 2-pair half-pin set). If EVERY pair
         // is super-linear the axis is pure noise: only the exclusion
         // count is reported.
-        val clean = vals.filter(_ <= 1.0)
+        val clean = pairs.zip(vals).filter(_._2 <= 1.0)
         val cleanE =
           if (clean.isEmpty) Seq.empty
           else Seq(
-            s"scaling_efficiency_${axis}_paired_best" -> f(clean.max),
-            s"scaling_efficiency_${axis}_paired_median" -> f(median(clean)))
-        cleanE :+ (s"n_pairs_excluded_$axis" -> (vals.size - clean.size).toDouble)
+            s"scaling_efficiency_${axis}_paired_best" -> f(clean.map(_._2).max),
+            s"scaling_efficiency_${axis}_paired_median" -> f(median(clean.map(_._2))))
+        val trimmedE =
+          if (clean.isEmpty) Seq.empty
+          else {
+            val bestLo = clean.map { case ((_, lo, _), _) => rate(lo) }.max
+            val bestHi = clean.map { case ((_, _, hi), _) => rate(hi) }.max
+            val kept = clean.filter { case ((_, lo, hi), _) =>
+              rate(lo) * trimF >= bestLo && rate(hi) * trimF >= bestHi }
+            if (kept.isEmpty) Seq.empty
+            else Seq(
+              s"scaling_efficiency_${axis}_paired_median_trimmed" -> f(median(kept.map(_._2))),
+              s"n_pairs_used_trimmed_$axis" -> kept.size.toDouble)
+          }
+        cleanE ++ trimmedE :+
+          (s"n_pairs_excluded_$axis" -> (vals.size - clean.size).toDouble)
       }
+      def pairTable(pairs: Seq[(Int, Point, Point)]): Seq[(String, Double)] =
+        pairs.flatMap { case (rep, lo, hi) => Seq(
+          s"pair_${rep}_build_eff" -> f(buildEff(lo, hi)),
+          s"pair_${rep}_query_eff" -> f(queryEff(lo, hi)),
+          s"pair_${rep}_n_docs" -> hi.nDocs.toDouble,
+          s"pair_${rep}_build_sec_lo" -> f(lo.buildSec),
+          s"pair_${rep}_build_sec_hi" -> f(hi.buildSec),
+          s"pair_${rep}_query_sec_lo" -> f(lo.querySec),
+          s"pair_${rep}_query_sec_hi" -> f(hi.querySec))
+        }
       val pairedEntries: Seq[(String, Double)] =
         if (pairedEff.isEmpty) Seq.empty
-        else axisEntries("build", pairedEff.map(_._2)) ++
-          axisEntries("query", pairedEff.map(_._3)) ++
+        else axisEntries("build", pairedEff, buildEff, _.docsPerSec) ++
+          axisEntries("query", pairedEff, queryEff, 1.0 / _.secPerQuery) ++
           Seq("n_pairs" -> pairedEff.size.toDouble) ++
-          pairedEff.flatMap { case (rep, b, q, nd) => Seq(
-            s"pair_${rep}_build_eff" -> f(b),
-            s"pair_${rep}_query_eff" -> f(q),
-            s"pair_${rep}_n_docs" -> nd.toDouble)
-          }
+          pairTable(pairedEff)
       // Host-deliverability ceiling from the same-run spin probe: if hi
       // concurrent spin threads ran X% slower than lo, no job can show
       // better than lo/hi efficiency in this window.
@@ -575,15 +610,11 @@ object Bench {
         if (ap.isEmpty) Seq.empty
         else {
           val tag = s"c${aLo}_$aHi"
-          axisEntries(s"build_$tag", ap.map(_._2)) ++
-            axisEntries(s"query_$tag", ap.map(_._3)) ++
+          axisEntries(s"build_$tag", ap, buildEff, _.docsPerSec) ++
+            axisEntries(s"query_$tag", ap, queryEff, 1.0 / _.secPerQuery) ++
             pointEntries(aLo, best(aLo)) ++ pointEntries(aHi, best(aHi)) ++
             Seq(s"n_pairs_$tag" -> ap.size.toDouble) ++
-            ap.flatMap { case (rep, b, q, nd) => Seq(
-              s"pair_${rep}_build_eff" -> f(b),
-              s"pair_${rep}_query_eff" -> f(q),
-              s"pair_${rep}_n_docs" -> nd.toDouble)
-            }
+            pairTable(ap)
         }
       }
       val allNDocs = ok.map(_._2.nDocs)
