@@ -50,11 +50,15 @@ object OracleSql {
        |)""".stripMargin
   }
 
-  /** The BM25 micro-contribution expression (mirror of Bm25.contribMicroCol). */
-  val contribExpr: String =
-    """CAST(floor(1e6 * (ln(1 + ((SELECT n_docs FROM meta) - dfs.df + 0.5) / (dfs.df + 0.5))
-      | * tf.tf * 2.2
-      | / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM meta)))) + 0.5) AS BIGINT)""".stripMargin
+  /** The BM25 micro-contribution expression (mirror of Bm25.contribMicroCol)
+    * over caller-chosen df/tf/dl column references. */
+  def contribExprFor(df: String, tf: String, dl: String): String =
+    s"""CAST(floor(1e6 * (ln(1 + ((SELECT n_docs FROM meta) - $df + 0.5) / ($df + 0.5))
+       | * $tf * 2.2
+       | / ($tf + 1.2 * (0.25 + 0.75 * $dl / (SELECT avgdl FROM meta)))) + 0.5) AS BIGINT)""".stripMargin
+
+  /** The per-term instance used by the top-k mirrors. */
+  val contribExpr: String = contribExprFor("dfs.df", "tf.tf", "dl.dl")
 
   /** Exact full-scan BM25 top-k (oracle for ALL top-k query paths). */
   def topkSql(k: Int = QuerySet.K): String =
@@ -77,6 +81,83 @@ object OracleSql {
        |)
        |SELECT query_id, rank, doc_id, score_micro FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Conjunctive (AND) BM25 top-k: docs matched by EVERY distinct query
+    * term, scored by the same BM25 sum. `matched` counts the (query, doc)
+    * contrib rows — one per query term present in the doc — and must equal
+    * the query's full distinct-term count (corpus-absent terms never join
+    * `tf`, so a query containing one matches nothing). */
+  def topkConjSql(k: Int = QuerySet.K): String =
+    s"""WITH $corpusCtes, $queriesCte,
+       |qcount AS (
+       |  SELECT query_id, count(*) AS m FROM qterms GROUP BY query_id
+       |), contrib AS (
+       |  SELECT q.query_id, tf.doc_id, $contribExpr AS c
+       |  FROM qterms q
+       |  JOIN tf ON q.term = tf.term
+       |  JOIN dfs ON q.term = dfs.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |), scores AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+       |         count(*) AS matched
+       |  FROM contrib GROUP BY query_id, doc_id
+       |), ranked AS (
+       |  SELECT s.query_id,
+       |         CAST(row_number() OVER (PARTITION BY s.query_id
+       |                                 ORDER BY s.score_micro DESC, s.doc_id ASC) AS INT) AS rank,
+       |         s.doc_id, s.score_micro
+       |  FROM scores s JOIN qcount qc ON s.query_id = qc.query_id
+       |  WHERE s.matched = qc.m
+       |)
+       |SELECT query_id, rank, doc_id, score_micro FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Exact phrase top-k mirror: token positions via zipped
+    * unnest/generate_subscripts (re-ranked after the empty-token filter so
+    * positions index the SAME filtered sequence the Spark tokenizer
+    * emits), phrase tf per doc via a fixed-length positional chain join
+    * (overlapping starts count), df = docs with tf > 0, scored with the
+    * shared BM25 micro expression, ranked under the frozen
+    * (score DESC, doc_id ASC) order. One UNION ALL branch per phrase of
+    * the frozen [[PhraseSet]] (chain length is per-phrase static SQL). */
+  def phraseTopkSql(k: Int = PhraseSet.K): String = {
+    val perPhrase = PhraseSet.phrases.map { case (pid, terms) =>
+      val joins = (1 until terms.size).map(i =>
+        s"JOIN tokp a$i ON a$i.doc_id = a0.doc_id AND a$i.pos = a0.pos + $i")
+        .mkString(" ")
+      val conds = terms.zipWithIndex.map { case (t, i) => s"a$i.term = '$t'" }
+        .mkString(" AND ")
+      s"  SELECT $pid AS phrase_id, a0.doc_id, count(*) AS tf " +
+        s"FROM tokp a0 $joins WHERE $conds GROUP BY a0.doc_id"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $corpusCtes, toksp AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\\pL\\pN]+')) AS term,
+       |         generate_subscripts(regexp_split_to_array(lower(text), '[^\\pL\\pN]+'), 1) AS rawpos
+       |  FROM documents
+       |), tokp AS (
+       |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+       |  FROM toksp WHERE term <> ''
+       |), ph0 AS (
+       |$perPhrase
+       |), phdf AS (
+       |  SELECT phrase_id, count(*) AS df FROM ph0 GROUP BY phrase_id
+       |), scored AS (
+       |  SELECT ph.phrase_id, ph.doc_id,
+       |         ${contribExprFor("ph.df", "ph.tf", "ph.dl")} AS score_micro
+       |  FROM (SELECT p.phrase_id, p.doc_id, p.tf, f.df, l.dl
+       |        FROM ph0 p
+       |        JOIN phdf f ON p.phrase_id = f.phrase_id
+       |        JOIN dl l ON p.doc_id = l.doc_id) ph
+       |), ranked AS (
+       |  SELECT phrase_id,
+       |         CAST(row_number() OVER (PARTITION BY phrase_id
+       |                                 ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank,
+       |         doc_id, score_micro
+       |  FROM scored
+       |)
+       |SELECT phrase_id, rank, doc_id, score_micro FROM ranked
+       |WHERE rank <= $k ORDER BY phrase_id, rank""".stripMargin
+  }
 
   /** Corpus scalar stats. */
   val corpusStatsSql: String =

@@ -67,20 +67,29 @@ object QueryEngine {
       termIdf: Map[String, Double],
       termToQueries: Map[String, Seq[Int]],
       queryTermSets: Map[Int, Seq[String]],
-      bucketWidth: Long = 0L) // doc-partitioned batch scoring needs the geometry
+      bucketWidth: Long = 0L, // doc-partitioned batch scoring needs the geometry
+      conjunctive: Boolean = false) // AND semantics: docs must match EVERY query term
 
   /** Build the batch plan from per-term stats (df) + corpus scalars.
-    * `termStats` may be the full stats table; only query terms are used. */
+    * `termStats` may be the full stats table; only query terms are used.
+    *
+    * `conjunctive = true` switches the batch to AND semantics: a doc
+    * qualifies only if it contains EVERY distinct term of the query
+    * (scored by the same BM25 sum over them). A query containing a term
+    * absent from the corpus can match nothing — it is dropped from the
+    * plan here, so the scorer only ever needs the all-present term count. */
   def plan(cs: CorpusStats, termDf: Map[String, Long],
            queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
-           k: Int = QuerySet.K): Plan = {
-    val terms = queries.flatMap(_._2).distinct.filter(termDf.contains)
+           k: Int = QuerySet.K, conjunctive: Boolean = false): Plan = {
+    val live =
+      if (conjunctive) queries.filter(_._2.forall(termDf.contains)) else queries
+    val terms = live.flatMap(_._2).distinct.filter(termDf.contains)
     val idf = terms.map(t => t -> Bm25.idf(cs.n_docs, termDf(t))).toMap
-    val t2q = queries
+    val t2q = live
       .flatMap { case (qid, ts) => ts.filter(termDf.contains).map(t => (t, qid)) }
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
-    val qts = queries.map { case (qid, ts) => qid -> ts.filter(termDf.contains) }.toMap
-    Plan(k, cs.avgdl, idf, t2q, qts)
+    val qts = live.map { case (qid, ts) => qid -> ts.filter(termDf.contains) }.toMap
+    Plan(k, cs.avgdl, idf, t2q, qts, conjunctive = conjunctive)
   }
 
   /** Carried per-query top-k under the frozen (score DESC, doc_id ASC)
@@ -157,10 +166,16 @@ object QueryEngine {
 
     /** termLists: per term of this bucket, (docIdx within bucket, contribMicro).
       * Scores every posting of `queryTerms` present in this bucket into
-      * `heap` (doc ids globalized with `base`). Returns touched-doc count. */
+      * `heap` (doc ids globalized with `base`). Returns touched-doc count.
+      *
+      * `required = 0` is disjunctive (OR) BM25; `required = m > 0` is
+      * conjunctive — only docs matched by exactly m lists qualify (the
+      * caller passes the query's FULL distinct-term count, so a term with
+      * no postings in this bucket excludes every doc of the bucket: a
+      * doc lives in exactly one bucket, so per-bucket AND is global AND). */
     def score(queryTerms: Seq[String],
               termLists: scala.collection.Map[String, (Array[Int], Array[Long])],
-              base: Long, heap: QueryHeap): Int = {
+              base: Long, heap: QueryHeap, required: Int = 0): Int = {
       var nl = 0
       var total = 0
       if (gIdx.length < queryTerms.size) {
@@ -175,8 +190,10 @@ object QueryEngine {
         }
       }
       if (nl == 0) 0
-      else if (nl == 1) scoreSingle(gIdx(0), gCs(0), base, heap)
-      else if (total >= width) scoreDense(nl, base, heap)
+      else if (required > 0 && nl < required) 0 // conj: a term absent here excludes the whole bucket
+      else if (nl == 1 && required <= 1) scoreSingle(gIdx(0), gCs(0), base, heap)
+      else if (total >= width) scoreDense(nl, base, heap, required)
+      else if (required > 0) scoreSparseConj(nl, base, heap, required)
       else scoreSparse(nl, base, heap)
     }
 
@@ -195,7 +212,8 @@ object QueryEngine {
     private val DenseTag = 1L << 42
     private val DenseMask = DenseTag - 1
 
-    private def scoreDense(nl: Int, base: Long, heap: QueryHeap): Int = {
+    private def scoreDense(nl: Int, base: Long, heap: QueryHeap,
+                           required: Int = 0): Int = {
       require(nl < (1 << 20), s"dense scorer supports < 2^20 lists, got $nl")
       java.util.Arrays.fill(scores, 0L)
       var li = 0
@@ -209,12 +227,58 @@ object QueryEngine {
       }
       var cand = 0
       var d = 0
-      while (d < width) {
-        val v = scores(d)
-        if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
-        d += 1
+      if (required == 0) {
+        while (d < width) {
+          val v = scores(d)
+          if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
+          d += 1
+        }
+      } else {
+        // conjunctive: the tag count IS the per-doc matched-list count
+        val want = required.toLong << 42
+        while (d < width) {
+          val v = scores(d)
+          if (v != 0L && (v & ~DenseMask) == want) {
+            cand += 1; heap.offer(v & DenseMask, base + d)
+          }
+          d += 1
+        }
       }
       cand
+    }
+
+    /** Sparse scatter with the dense path's tag trick, for conjunctive
+      * queries below the dense threshold: only docs whose matched-list
+      * count equals `required` reach the heap. */
+    private def scoreSparseConj(nl: Int, base: Long, heap: QueryHeap,
+                                required: Int): Int = {
+      curStamp += 1
+      var nTouched = 0
+      var li = 0
+      while (li < nl) {
+        val idxs = gIdx(li)
+        val cs = gCs(li)
+        var i = 0
+        val n = idxs.length
+        while (i < n) {
+          val ix = idxs(i)
+          if (stamp(ix) != curStamp) {
+            stamp(ix) = curStamp; scores(ix) = cs(i) + DenseTag
+            touched(nTouched) = ix; nTouched += 1
+          } else scores(ix) += cs(i) + DenseTag
+          i += 1
+        }
+        li += 1
+      }
+      val want = required.toLong << 42
+      var j = 0
+      while (j < nTouched) {
+        val ix = touched(j)
+        val v = scores(ix)
+        if ((v & ~DenseMask) == want) heap.offer(v & DenseMask, base + ix)
+        j += 1
+      }
+      nTouched
     }
 
     private def scoreSparse(nl: Int, base: Long, heap: QueryHeap): Int = {
@@ -291,7 +355,11 @@ object QueryEngine {
     val worstQuery = plan.queryTermSets.values
       .map(_.iterator.map(termN.getOrElse(_, 0L)).sum)
       .maxOption.getOrElse(0L)
-    if (worstQuery > maxGroupPostings) {
+    // conjunctive batches always take the doc-partitioned TAAT path: AND
+    // evaluation is a per-doc intersection, which the bucket scorer does
+    // natively (per-doc matched-list count); the per-query WAND grouping
+    // below has no conjunctive mode.
+    if (plan.conjunctive || worstQuery > maxGroupPostings) {
       val width = if (plan.bucketWidth > 0) plan.bucketWidth
                   else 4096L // in-memory postings carry no geometry; any positive width is rank-safe
       return runDocPartitioned(spark,
@@ -544,7 +612,8 @@ object QueryEngine {
               effort.foreach(_.bucketsSkipped.add(1L)) // provably fruitless
             } else {
               val t0 = if (prof) System.nanoTime() else 0L
-              val nTouched = taat.score(p.queryTermSets(qid), termLists, base, heap)
+              val req = if (p.conjunctive) p.queryTermSets(qid).size else 0
+              val nTouched = taat.score(p.queryTermSets(qid), termLists, base, heap, req)
               effort.foreach { a =>
                 scoreNs += System.nanoTime() - t0
                 a.wandCalls.add(1L); a.docsScored.add(nTouched.toLong)
@@ -654,18 +723,20 @@ object QueryEngine {
   def runOnIndex(spark: SparkSession, dir: String,
                  queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
                  k: Int = QuerySet.K,
-                 effort: Option[EffortAccs] = None): DataFrame =
+                 effort: Option[EffortAccs] = None,
+                 conjunctive: Boolean = false): DataFrame =
     // query-once entry point: a serving cache would never be reused (and
     // never released) — open uncached
     runOnHandle(spark, openIndex(spark, dir, cacheServing = false),
-      queries, k, effort)
+      queries, k, effort, conjunctive)
 
   /** One query batch against an opened index (load once, query many —
     * the reference's test-harness shape). */
   def runOnHandle(spark: SparkSession, h: IndexHandle,
                   queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
                   k: Int = QuerySet.K,
-                  effort: Option[EffortAccs] = None): DataFrame = {
+                  effort: Option[EffortAccs] = None,
+                  conjunctive: Boolean = false): DataFrame = {
     import spark.implicits._
     val meta = h.meta
     val qTerms = queries.flatMap(_._2).distinct
@@ -678,7 +749,8 @@ object QueryEngine {
     val termDf = statsRows.map(r => (r._1, r._2)).toMap
     val termMaxBucket = statsRows.map(r => (r._1, r._3)).toMap
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
-    val p = plan(cs, termDf, queries, k).copy(bucketWidth = meta.bucket_width)
+    val p = plan(cs, termDf, queries, k, conjunctive)
+      .copy(bucketWidth = meta.bucket_width)
     if (meta.doc_partitioned)
       h.served match {
         case Some(cached) =>

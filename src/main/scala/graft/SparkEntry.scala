@@ -83,6 +83,35 @@ object SparkEntry {
         .select($"term", $"df").as[(String, Long)].collect().toMap
       QueryEngine.run(s, postings, QueryEngine.plan(cs, termDf))
     }),
+    // --- conjunctive (AND) top-k over the same index and query batch:
+    // docs must contain EVERY distinct query term (BM25-scored over them);
+    // queries with a corpus-absent term match nothing. Served through the
+    // doc-partitioned TAAT scorer's matched-list count — a per-doc
+    // intersection, the layout where AND is a local per-bucket test ------
+    "q_topk_conj" -> ((s, dir) => {
+      val (postings, ts, cs) = IndexBuild.buildPostings(s, docs(s, dir), testConfig)
+      import s.implicits._
+      val qTerms = QuerySet.queryTerms.flatMap(_._2).distinct
+      val termDf = ts.where($"term".isin(qTerms: _*))
+        .select($"term", $"df").as[(String, Long)].collect().toMap
+      QueryEngine.run(s, postings,
+        QueryEngine.plan(cs, termDf, conjunctive = true))
+    }),
+    // --- exact phrase top-k over the positional sidecar (beyond-reference
+    // fulltext capability): build positions (one shuffle of the exploded
+    // tokens), persist + reopen (full lifecycle), evaluate the frozen
+    // phrase batch per docId bucket (local intersection + adjacency
+    // count), score each phrase as one BM25 term (tf = occurrence count,
+    // df = matching docs) -------------------------------------------------
+    "q_phrase_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cs = Stats.corpus(d)
+      val posDir = s"${scratchDir("phrase-idx-")}/positions"
+      Positional.write(
+        Positional.build(s, d, testConfig.bucketWidth), posDir)
+      Positional.phraseTopK(s, Positional.read(s, posDir),
+        PhraseSet.phrases, PhraseSet.K, cs.n_docs, cs.avgdl)
+    }),
     // --- serving path (S9/S12 lifecycle: persist → derive → open → query):
     // the full disk shape the bench measures — term-partitioned build,
     // serving layout DERIVED from it (rebucket transform, no second
@@ -235,6 +264,8 @@ object SparkEntry {
     "q_topk_indexed"    -> OracleSql.topkSql(),
     "q_topk_serving"    -> OracleSql.topkSql(),
     "q_topk_merged"     -> OracleSql.topkSql(),
+    "q_topk_conj"       -> OracleSql.topkConjSql(),
+    "q_phrase_topk"     -> OracleSql.phraseTopkSql(),
     "q_postings_decode" -> OracleSql.postingsSql,
     "q_postings_pfor"   -> OracleSql.postingsSql,
     "q_dedup_exact"     -> extra.OracleSqlExtra.dedupExactSql,

@@ -74,6 +74,66 @@ class BucketTaatSpec extends AnyFunSuite {
     }
   }
 
+  /** Conjunctive analog of [[runScenario]]: required = the query's full
+    * distinct-term count; naive keeps only docs touched by EVERY query
+    * term's list in their bucket (terms absent from a bucket exclude all
+    * of that bucket's docs — per-bucket AND is global AND because a doc
+    * lives in exactly one bucket). */
+  private def runConjScenario(rnd: Random, width: Int, k: Int, nBuckets: Int,
+                              listLen: Int => Int): Unit = {
+    val terms = (0 until (2 + rnd.nextInt(4))).map(i => s"t$i")
+    val queryTerms = rnd.shuffle(terms).take(1 + rnd.nextInt(terms.size))
+    val m = queryTerms.size
+    val buckets = (0 until nBuckets).map { b =>
+      val lists = terms.flatMap { t =>
+        if (rnd.nextDouble() < 0.15) None
+        else {
+          val n = math.min(width, math.max(0, listLen(width)))
+          val idxs = rnd.shuffle((0 until width).toList).take(n).sorted.toArray
+          val cs = Array.fill(n)(rnd.nextInt(5).toLong)
+          Some(t -> (idxs, cs))
+        }
+      }.toMap
+      (b.toLong * width, lists)
+    }
+    val naive = buckets.flatMap { case (base, lists) =>
+      val acc = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+      queryTerms.foreach { t =>
+        lists.get(t).foreach { case (idxs, cs) =>
+          idxs.indices.foreach { i =>
+            val d = base + idxs(i)
+            val (s0, n0) = acc.getOrElse(d, (0L, 0))
+            acc(d) = (s0 + cs(i), n0 + 1)
+          }
+        }
+      }
+      acc.collect { case (d, (s, n)) if n == m => (d, s) }.toSeq
+    }.sortBy { case (d, s) => (-s, d) }.take(k)
+      .map { case (d, s) => TopK.Cand(d, s) }
+
+    val taat = new QueryEngine.BucketTaat(width, k)
+    val heap = new QueryEngine.QueryHeap(k)
+    buckets.foreach { case (base, lists) =>
+      taat.score(queryTerms, lists, base, heap, required = m)
+    }
+    assert(heap.toCands == naive,
+      s"CONJ width=$width k=$k q=$queryTerms got=${heap.toCands} want=$naive")
+  }
+
+  test("conjunctive scorer == naive AND across shapes (property)") {
+    val rnd = new Random(1337)
+    (0 until 300).foreach { i =>
+      val width = 4 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(8)
+      val lens: Int => Int = (i % 3) match {
+        case 0 => w => rnd.nextInt(math.max(1, w / 4))          // sparse
+        case 1 => w => w - rnd.nextInt(math.max(1, w / 8))      // dense
+        case _ => w => rnd.nextInt(w + 1)                       // mixed
+      }
+      runConjScenario(rnd, width, k, 1 + rnd.nextInt(4), lens)
+    }
+  }
+
   test("carried θ floor never drops a true member (adversarial: rising k-th)") {
     // bucket 0 fills the heap with high scores; later buckets contain docs
     // exactly AT and just below the k-th — ties must survive by doc id
