@@ -386,6 +386,13 @@ object Bench {
         val batch = queryBatch(nr.toInt)
         val clean = (1 to 2).map(_ =>
           timed { QueryEngine.runOnHandle(spark, handle, batch).count(); () }).min
+        // pure per-batch fixed cost: a one-query batch whose term misses
+        // the whole corpus — stats lookup, plan, empty scoring job, merge,
+        // result materialization, but no posting work at all
+        val fixed = (1 to 3).map(_ => timed {
+          QueryEngine.runOnHandle(spark, handle,
+            Seq(1 -> Seq("zzzfixedprobe"))).count(); ()
+        }).min
         val accs = new QueryEngine.EffortAccs(spark)
         val prof = timed {
           QueryEngine.runOnHandle(spark, handle, batch, effort = Some(accs)).count(); ()
@@ -399,7 +406,7 @@ object Bench {
         val parts = phases.map { case (n, v) =>
           f""""${n}_ms":${v / 1e6}%.1f,"${n}_share":${v / tot}%.4f"""
         }.mkString(",")
-        println(f"""{"profile":"query-phase","cpus":${c.toInt},"scale":${sc.toInt},"nq":${batch.size},"clean_sec":$clean%.3f,"profiled_sec":$prof%.3f,$parts,"effort":"$accs"}""")
+        println(f"""{"profile":"query-phase","cpus":${c.toInt},"scale":${sc.toInt},"nq":${batch.size},"clean_sec":$clean%.3f,"fixed_sec":$fixed%.3f,"profiled_sec":$prof%.3f,$parts,"effort":"$accs"}""")
       } finally spark.stop()
       return
     }
