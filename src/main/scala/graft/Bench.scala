@@ -411,6 +411,45 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("phrase")) {
+      // Diagnostic: positional-sidecar build throughput + phrase batch
+      // latency at scale (evidence the beyond-reference phrase surface
+      // holds the same scaling shape as the main index — not part of the
+      // driver metric). Usage: phrase <cpus> <scale> <phraseReps>.
+      val Array(_, c, sc, nr) = args
+      val spark = session(c.toInt)
+      try {
+        val base = Stats.readDocuments(spark, sfDir)
+        val baseRow = base.agg(count(lit(1)), sum(octet_length(col("text")))).head()
+        val docs = scaleUp(base, sc.toInt, baseRow.getLong(0), slices = 64,
+          baseBytes = baseRow.getLong(1))
+        val nDocs = baseRow.getLong(0) * math.max(1, sc.toInt)
+        val posDir = "/root/repo/target/phrase-bench-pos"
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(posDir), true)
+        def timed(body: => Unit): Double = {
+          val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
+        }
+        val buildSec = timed {
+          Positional.write(Positional.build(spark, docs, cfg.bucketWidth), posDir)
+        }
+        val cs = Stats.corpus(docs)
+        val pos = Positional.read(spark, posDir)
+        val batch = (0 until nr.toInt).flatMap(r =>
+          PhraseSet.phrases.map { case (pid, ts) => (pid + 100 * r, ts) })
+        var hits = 0L
+        Positional.phraseTopK(spark, pos, PhraseSet.phrases, PhraseSet.K,
+          cs.n_docs, cs.avgdl).count() // warm
+        val qSec = (1 to 2).map(_ => timed {
+          hits = Positional.phraseTopK(spark, pos, batch, PhraseSet.K,
+            cs.n_docs, cs.avgdl).count()
+        }).min
+        val posBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(posDir)).getLength
+        println(f"""{"profile":"phrase-bench","cpus":${c.toInt},"scale":${sc.toInt},"n_docs":$nDocs,"pos_build_sec":$buildSec%.3f,"pos_build_docs_per_sec":${nDocs / buildSec}%.1f,"pos_bytes":$posBytes,"n_phrases":${batch.size},"phrase_batch_sec":$qSec%.3f,"phrase_ms_per_query":${qSec * 1000 / batch.size}%.3f,"hits":$hits}""")
+      } finally spark.stop()
+      return
+    }
+
     if (args.headOption.contains("spawn")) {
       // diagnostic: ONE pinned child (same taskset+GC flags as a real
       // bench run), phase/stage logs land in target/bench-child-c<n>.err

@@ -82,55 +82,74 @@ object Positional {
     out.result()
   }
 
-  /** Build the positions table: one shuffle of the exploded tokens, keyed
-    * (term, bucket), sorted within partitions so each (term, bucket) run
-    * encodes streaming (no per-group materialization beyond one run). */
+  /** Build the positions table — the main build's fused map-side-partial
+    * shape, not an exploded-token shuffle: v1 shuffled one row PER TOKEN
+    * (800M rows at 16M docs) through a full Tungsten sort and measured
+    * 46× slower than the posting build; the payload only needs one row
+    * per (term, bucket) PARTIAL. Each map task tokenizes its docs once,
+    * accumulates per-(term, bucket) position entries, and emits encoded
+    * partial [[PosRow]]s (periodically flushed so the live set stays
+    * bounded); the shuffle then moves compressed position bytes keyed by
+    * (term, bucket) — ~#keys rows, not #tokens — and the reduce merges
+    * each key's partials by docId (entries are per-doc self-contained,
+    * so a merge is decode + stable resort + re-encode of ≤ width docs). */
   def build(spark: SparkSession, docs: DataFrame, width: Long,
-            numPartitions: Int = 32): Dataset[PosRow] = {
+            flushEntries: Int = 2000000): Dataset[PosRow] = {
     import spark.implicits._
-    docs
-      .select($"doc_id", Tokenize.tokensCol($"text").as("toks"))
-      .select($"doc_id", size($"toks").as("dl"), posexplode($"toks").as(Seq("pos", "term")))
-      .select($"term", ($"doc_id" / width).cast("int").as("bucket"),
-        $"doc_id", $"dl".cast("int").as("dl"), $"pos".cast("int").as("pos"))
-      .repartition(numPartitions, $"term", $"bucket")
-      .sortWithinPartitions($"term", $"bucket", $"doc_id", $"pos")
-      .as[(String, Int, Long, Int, Int)]
+    val partials: Dataset[PosRow] = docs
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
       .mapPartitions { it =>
-        new Iterator[PosRow] {
-          private var pending: Option[(String, Int, Long, Int, Int)] = None
-          private def nextInput(): Option[(String, Int, Long, Int, Int)] = {
-            if (pending.isEmpty && it.hasNext) pending = Some(it.next())
-            pending // stashed: hasNext must not consume-and-drop
+        val acc = scala.collection.mutable.HashMap
+          .empty[(String, Int), scala.collection.mutable.ArrayBuffer[(Long, Int, Array[Int])]]
+        var live = 0
+        var out = Vector.empty[PosRow]
+        def flush(): Unit = {
+          out = out ++ acc.iterator.map { case ((t, b), entries) =>
+            encodeRow(t, b, entries.sortBy(_._1).toSeq)
           }
-          override def hasNext: Boolean = nextInput().isDefined
-          override def next(): PosRow = {
-            val first = nextInput().get
-            pending = None
-            val (term, bucket) = (first._1, first._2)
-            val docsBuf = Vector.newBuilder[(Long, Int, Array[Int])]
-            var curDoc = first._3
-            var curDl = first._4
-            var posBuf = new scala.collection.mutable.ArrayBuffer[Int]
-            posBuf += first._5
-            var run = true
-            while (run) {
-              val n = if (it.hasNext) Some(it.next()) else None
-              n match {
-                case Some(r) if r._1 == term && r._2 == bucket =>
-                  if (r._3 != curDoc) {
-                    docsBuf += ((curDoc, curDl, posBuf.toArray))
-                    curDoc = r._3; curDl = r._4; posBuf = new scala.collection.mutable.ArrayBuffer[Int]
-                  }
-                  posBuf += r._5
-                case other =>
-                  pending = other; run = false
+          acc.clear(); live = 0
+        }
+        val terms = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        new Iterator[PosRow] {
+          private var emitted: Iterator[PosRow] = Iterator.empty
+          private def refill(): Unit = {
+            while (!emitted.hasNext && (it.hasNext || live > 0 || acc.nonEmpty)) {
+              if (!it.hasNext) { flush(); emitted = out.iterator; out = Vector.empty }
+              else {
+                val (doc, text) = it.next()
+                val toks = Tokenize.tokenizeArray(text)
+                terms.clear()
+                var i = 0
+                while (i < toks.length) {
+                  terms.getOrElseUpdate(toks(i),
+                    scala.collection.mutable.ArrayBuffer.empty) += i
+                  i += 1
+                }
+                val bucket = (doc / width).toInt
+                terms.foreach { case (t, ps) =>
+                  acc.getOrElseUpdate((t, bucket),
+                    scala.collection.mutable.ArrayBuffer.empty) +=
+                    ((doc, toks.length, ps.toArray))
+                  live += ps.length
+                }
+                if (live >= flushEntries) { flush(); emitted = out.iterator; out = Vector.empty }
               }
             }
-            docsBuf += ((curDoc, curDl, posBuf.toArray))
-            encodeRow(term, bucket, docsBuf.result())
           }
+          override def hasNext: Boolean = { refill(); emitted.hasNext }
+          override def next(): PosRow = { refill(); emitted.next() }
         }
+      }
+    partials
+      .groupByKey(r => (r.term, r.bucket))
+      .mapGroups { (key: (String, Int), rows: Iterator[PosRow]) =>
+        val all = rows.toSeq
+        if (all.size == 1) all.head
+        else encodeRow(key._1, key._2,
+          all.flatMap(decodeRow).sortBy(_.doc_id)
+            .map(d => (d.doc_id, d.dl, d.positions)))
       }
   }
 
@@ -143,11 +162,66 @@ object Positional {
     spark.read.parquet(dir).as[PosRow]
   }
 
+  /** One bucket's positions for one term, decoded to flat primitive
+    * arrays (no per-doc objects — the per-(phrase, doc) inner loops run
+    * over these ~120M times per 16M-doc batch): docs/dls parallel by doc
+    * index, positions of doc i at pos[offs(i) until offs(i+1)). */
+  final class TermPositions(val docs: Array[Long], val dls: Array[Int],
+                            val offs: Array[Int], val pos: Array[Int])
+
+  /** Decode a term's bucket rows (sorted by min_doc; doc ranges disjoint)
+    * straight into a [[TermPositions]] — bytes → primitives, zero boxing. */
+  def decodeFlat(rows: Seq[PosRow]): TermPositions = {
+    var total = 0L
+    rows.foreach(total += _.n)
+    val nDocs = total.toInt
+    val docs = new Array[Long](nDocs)
+    val dls = new Array[Int](nDocs)
+    val offs = new Array[Int](nDocs + 1)
+    var posArr = new Array[Int](math.max(1024, nDocs))
+    var posN = 0
+    var di = 0
+    rows.foreach { r =>
+      val rd = new Codec.Reader(r.bytes)
+      var doc = -1L
+      var i = 0L
+      while (i < r.n) {
+        val g = rd.readVLong()
+        doc = if (doc < 0) g else doc + g
+        docs(di) = doc
+        dls(di) = rd.readVLong().toInt
+        val np = rd.readVLong().toInt
+        if (posN + np > posArr.length)
+          posArr = java.util.Arrays.copyOf(posArr,
+            math.max(posArr.length << 1, posN + np))
+        offs(di) = posN
+        var p = -1
+        var j = 0
+        while (j < np) {
+          val pg = rd.readVLong().toInt
+          p = if (p < 0) pg else p + pg
+          posArr(posN) = p
+          posN += 1
+          j += 1
+        }
+        di += 1
+        i += 1
+      }
+    }
+    offs(di) = posN
+    new TermPositions(docs, dls, offs, posArr)
+  }
+
   /** Exact phrase hits: (phrase_id, doc_id, tf, dl) for every doc
     * containing the phrase (tf = number of starting positions; overlapping
     * occurrences count — "table table table" contains "table table"
     * twice). One job for the whole phrase batch: each bucket group decodes
-    * its term positions once and evaluates every phrase against them. */
+    * its term positions ONCE into flat arrays (shared by every phrase
+    * using the term — the positional analog of the TAAT scorer's shared
+    * contributions), then each phrase runs a primitive two-pointer doc
+    * intersection and a merge-walk adjacency chain (starts surviving
+    * p+i ∈ positions(term_i) for all i) — no per-doc allocation, no
+    * binary searches. */
   def phraseHits(spark: SparkSession, pos: Dataset[PosRow],
                  phrases: Seq[(Int, Seq[String])]): DataFrame = {
     import spark.implicits._
@@ -156,57 +230,88 @@ object Positional {
     pos.where($"term".isin(allTerms: _*))
       .groupByKey(_.bucket)
       .flatMapGroups { (_, it) =>
-        // term -> (docId -> positions, dl); one bucket's phrase-term mass
-        val byTerm = scala.collection.mutable.HashMap
-          .empty[String, scala.collection.mutable.ArrayBuffer[DocPositions]]
+        // merged inputs may deliver several rows per term — ranges stay
+        // disjoint, order restored by min_doc before the flat decode
+        val rowsByTerm = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[PosRow]]
         it.foreach { r =>
-          byTerm.getOrElseUpdate(r.term,
-            scala.collection.mutable.ArrayBuffer.empty) ++= decodeRow(r)
+          rowsByTerm.getOrElseUpdate(r.term,
+            scala.collection.mutable.ArrayBuffer.empty) += r
         }
-        // merged inputs may deliver several rows per term — docs stay
-        // disjoint across rows but order needs restoring
-        val sorted: Map[String, Array[DocPositions]] = byTerm.iterator.map {
-          case (t, b) => t -> b.sortBy(_.doc_id).toArray
+        val flat: Map[String, TermPositions] = rowsByTerm.iterator.map {
+          case (t, rs) => t -> decodeFlat(rs.sortBy(_.min_doc).toSeq)
         }.toMap
+        var scratch = new Array[Int](256)
         bc.value.iterator.flatMap { case (pid, terms) =>
-          if (!terms.forall(sorted.contains)) Iterator.empty
+          if (!terms.forall(flat.contains)) Iterator.empty
           else {
-            val lists = terms.map(sorted).toArray
-            // intersect by doc over the phrase's term lists (docId-sorted)
-            val cursors = new Array[Int](lists.length)
-            val first = lists(0)
-            Iterator.range(0, first.length).flatMap { i0 =>
-              val d = first(i0)
+            val lists = terms.map(flat).toArray
+            val nl = lists.length
+            val cursors = new Array[Int](nl)
+            // drive the doc intersection from the RAREST term's list: the
+            // walk visits min-df docs, not term0's df (on Zipf text a
+            // phrase with one selective word skips the head term's mass
+            // entirely — the standard phrase-query ordering; this synthetic
+            // corpus has a 31-term head-only vocabulary, so all drivers
+            // tie here, but the shape is what survives real data)
+            var m = 0
+            var li0 = 1
+            while (li0 < nl) {
+              if (lists(li0).docs.length < lists(m).docs.length) m = li0
+              li0 += 1
+            }
+            val driver = lists(m)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Long, Long, Long)]
+            var i0 = 0
+            while (i0 < driver.docs.length) {
+              val d = driver.docs(i0)
+              cursors(m) = i0
               var ok = true
-              var li = 1
-              while (ok && li < lists.length) {
-                val l = lists(li)
-                var c = cursors(li)
-                while (c < l.length && l(c).doc_id < d.doc_id) c += 1
-                cursors(li) = c
-                ok = c < l.length && l(c).doc_id == d.doc_id
+              var li = 0
+              while (ok && li < nl) {
+                if (li != m) {
+                  val l = lists(li)
+                  var c = cursors(li)
+                  while (c < l.docs.length && l.docs(c) < d) c += 1
+                  cursors(li) = c
+                  ok = c < l.docs.length && l.docs(c) == d
+                }
                 li += 1
               }
-              if (!ok) Iterator.empty
-              else {
-                // count starts p with positions(term_i) ∋ p+i for all i
-                val posArrays = Array.tabulate(lists.length) { li =>
-                  if (li == 0) d.positions else lists(li)(cursors(li)).positions
-                }
-                var tf = 0
-                posArrays(0).foreach { p =>
-                  var all = true
-                  var li = 1
-                  while (all && li < posArrays.length) {
-                    all = java.util.Arrays.binarySearch(posArrays(li), p + li) >= 0
-                    li += 1
+              if (ok) {
+                // adjacency chain anchored at term0's slice for this doc
+                val l0 = lists(0)
+                val c0 = cursors(0)
+                val s0 = l0.offs(c0)
+                var n = l0.offs(c0 + 1) - s0
+                if (scratch.length < n)
+                  scratch = new Array[Int](Integer.highestOneBit(n) << 1)
+                System.arraycopy(l0.pos, s0, scratch, 0, n)
+                var li2 = 1
+                while (n > 0 && li2 < nl) {
+                  val l = lists(li2)
+                  val ci = cursors(li2)
+                  val le = l.offs(ci + 1)
+                  var w = 0
+                  var a = 0
+                  var b = l.offs(ci)
+                  while (a < n && b < le) {
+                    val want = scratch(a) + li2
+                    if (l.pos(b) < want) b += 1
+                    else {
+                      if (l.pos(b) == want) { scratch(w) = scratch(a); w += 1 }
+                      a += 1
+                    }
                   }
-                  if (all) tf += 1
+                  n = w
+                  li2 += 1
                 }
-                if (tf > 0) Iterator.single((pid, d.doc_id, tf.toLong, d.dl.toLong))
-                else Iterator.empty
+                if (n > 0) out += ((pid, d, n.toLong, l0.dls(c0).toLong))
               }
+              i0 += 1
             }
+            out.iterator
           }
         }
       }

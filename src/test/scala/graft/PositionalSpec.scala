@@ -53,7 +53,7 @@ class PositionalSpec extends AnyFunSuite {
         4 -> Seq("a", "a", "a"),
         5 -> Seq("a", "zz")            // absent term
       )
-      val pos = Positional.build(spark, docsDf, width = 8, numPartitions = 4)
+      val pos = Positional.build(spark, docsDf, width = 8)
       val got = Positional.phraseHits(spark, pos, phrases)
         .as[(Int, Long, Long, Long)].collect().toSet
       val want = (for {
