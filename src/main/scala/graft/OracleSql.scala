@@ -159,6 +159,46 @@ object OracleSql {
        |WHERE rank <= $k ORDER BY phrase_id, rank""".stripMargin
   }
 
+  /** Ordered-proximity top-k mirror: tf counts position pairs (pa, pb)
+    * with pb BETWEEN pa+1 AND pa+1+slop — slop 0 is exactly the bigram
+    * phrase chain join. Same positional CTEs and scoring as the phrase
+    * mirror. */
+  def proximityTopkSql(k: Int = PhraseSet.K): String = {
+    val perPair = PhraseSet.proximityPairs.map { case (pid, t1, t2, slop) =>
+      s"  SELECT $pid AS pair_id, a.doc_id, count(*) AS tf FROM tokp a " +
+        s"JOIN tokp b ON b.doc_id = a.doc_id " +
+        s"AND b.pos BETWEEN a.pos + 1 AND a.pos + ${slop + 1} " +
+        s"WHERE a.term = '$t1' AND b.term = '$t2' GROUP BY a.doc_id"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $corpusCtes, toksp AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\\pL\\pN]+')) AS term,
+       |         generate_subscripts(regexp_split_to_array(lower(text), '[^\\pL\\pN]+'), 1) AS rawpos
+       |  FROM documents
+       |), tokp AS (
+       |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+       |  FROM toksp WHERE term <> ''
+       |), ph0 AS (
+       |$perPair
+       |), phdf AS (
+       |  SELECT pair_id, count(*) AS df FROM ph0 GROUP BY pair_id
+       |), scored AS (
+       |  SELECT ph.pair_id, ph.doc_id,
+       |         ${contribExprFor("ph.df", "ph.tf", "ph.dl")} AS score_micro
+       |  FROM (SELECT p.pair_id, p.doc_id, p.tf, f.df, l.dl
+       |        FROM ph0 p
+       |        JOIN phdf f ON p.pair_id = f.pair_id
+       |        JOIN dl l ON p.doc_id = l.doc_id) ph
+       |), ranked AS (
+       |  SELECT pair_id,
+       |         CAST(row_number() OVER (PARTITION BY pair_id
+       |                                 ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank,
+       |         doc_id, score_micro
+       |  FROM scored
+       |)
+       |SELECT pair_id, rank, doc_id, score_micro FROM ranked
+       |WHERE rank <= $k ORDER BY pair_id, rank""".stripMargin
+  }
+
   /** Corpus scalar stats. */
   val corpusStatsSql: String =
     s"""WITH $corpusCtes

@@ -318,6 +318,89 @@ object Positional {
       .toDF("phrase_id", "doc_id", "tf", "dl")
   }
 
+  /** Ordered-proximity hits for term PAIRS: (pair_id, doc_id, tf, dl)
+    * where tf counts position pairs (pa, pb) with
+    * 1 ≤ pb − pa ≤ slop + 1 — slop 0 is exactly the bigram phrase; the
+    * window count is a two-cursor walk over the sorted position arrays
+    * (O(|A| + |B|) per doc). Same bucket-local evaluation and shared flat
+    * decode as [[phraseHits]]. */
+  def proximityHits(spark: SparkSession, pos: Dataset[PosRow],
+                    pairs: Seq[(Int, String, String, Int)]): DataFrame = {
+    import spark.implicits._
+    val allTerms = pairs.flatMap(p => Seq(p._2, p._3)).distinct
+    val bc = spark.sparkContext.broadcast(pairs)
+    pos.where($"term".isin(allTerms: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val rowsByTerm = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[PosRow]]
+        it.foreach { r =>
+          rowsByTerm.getOrElseUpdate(r.term,
+            scala.collection.mutable.ArrayBuffer.empty) += r
+        }
+        val flat: Map[String, TermPositions] = rowsByTerm.iterator.map {
+          case (t, rs) => t -> decodeFlat(rs.sortBy(_.min_doc).toSeq)
+        }.toMap
+        bc.value.iterator.flatMap { case (pid, t1, t2, slop) =>
+          (flat.get(t1), flat.get(t2)) match {
+            case (Some(a), Some(b)) =>
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(Int, Long, Long, Long)]
+              var ia = 0
+              var ib = 0
+              while (ia < a.docs.length && ib < b.docs.length) {
+                val da = a.docs(ia)
+                val db = b.docs(ib)
+                if (da < db) ia += 1
+                else if (db < da) ib += 1
+                else {
+                  // window pair count: for each pa, #pb in (pa, pa+slop+1]
+                  val as = a.offs(ia); val ae = a.offs(ia + 1)
+                  val bs = b.offs(ib); val be = b.offs(ib + 1)
+                  var tf = 0L
+                  var lo = bs
+                  var hi = bs
+                  var i = as
+                  while (i < ae) {
+                    val pa = a.pos(i)
+                    while (lo < be && b.pos(lo) <= pa) lo += 1
+                    if (hi < lo) hi = lo
+                    while (hi < be && b.pos(hi) <= pa + slop + 1) hi += 1
+                    tf += hi - lo
+                    i += 1
+                  }
+                  if (tf > 0) out += ((pid, da, tf, a.dls(ia).toLong))
+                  ia += 1
+                  ib += 1
+                }
+              }
+              out.iterator
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("pair_id", "doc_id", "tf", "dl")
+  }
+
+  /** Proximity top-k over [[proximityHits]] — same BM25-as-one-term
+    * scoring and frozen order as [[phraseTopK]]. */
+  def proximityTopK(spark: SparkSession, pos: Dataset[PosRow],
+                    pairs: Seq[(Int, String, String, Int)], k: Int,
+                    nDocs: Long, avgdl: Double): DataFrame = {
+    import spark.implicits._
+    val hits = proximityHits(spark, pos, pairs)
+    val dfs = hits.groupBy($"pair_id").agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfs), "pair_id")
+      .select($"pair_id", $"doc_id",
+        Bm25.contribMicroCol(nDocs, avgdl, $"df", $"tf", $"dl").as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"pair_id").orderBy($"score_micro".desc, $"doc_id".asc))
+        .cast("int"))
+      .where($"rank" <= k)
+      .select($"pair_id", $"rank", $"doc_id", $"score_micro")
+      .orderBy($"pair_id", $"rank")
+  }
+
   /** Phrase top-k: each phrase scored as one BM25 "term" with
     * tf = occurrence count and df = |{docs: tf > 0}|, ranked under the
     * frozen (score DESC, doc_id ASC) order. The hit set is the phrase's
@@ -357,5 +440,16 @@ object PhraseSet {
     6 -> Seq("plan", "cache"),           // 'plan' absent from corpus
     7 -> Seq("customer", "join"),
     8 -> Seq("the", "window")
+  )
+
+  /** Ordered-proximity pairs (id, first, second, slop): slop 0 ≡ the
+    * bigram phrase; larger slops widen the window; absent terms → empty. */
+  val proximityPairs: Seq[(Int, String, String, Int)] = Seq(
+    (1, "table", "hash", 0),   // must equal the phrase semantics
+    (2, "table", "hash", 3),
+    (3, "dup", "customer", 5),
+    (4, "the", "window", 2),
+    (5, "dup", "dup", 4),      // self-pairs within a window
+    (6, "plan", "cache", 4)    // 'plan' absent from corpus
   )
 }

@@ -112,6 +112,17 @@ object SparkEntry {
       Positional.phraseTopK(s, Positional.read(s, posDir),
         PhraseSet.phrases, PhraseSet.K, cs.n_docs, cs.avgdl)
     }),
+    // --- ordered-proximity top-k over the same positional sidecar: tf
+    // counts position pairs within a slop window (slop 0 ≡ the bigram
+    // phrase); same one-pass bucket-local evaluation and BM25-as-one-term
+    // scoring --------------------------------------------------------------
+    "q_proximity_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cs = Stats.corpus(d)
+      val pos = Positional.build(s, d, testConfig.bucketWidth)
+      Positional.proximityTopK(s, pos, PhraseSet.proximityPairs,
+        PhraseSet.K, cs.n_docs, cs.avgdl)
+    }),
     // --- serving path (S9/S12 lifecycle: persist → derive → open → query):
     // the full disk shape the bench measures — term-partitioned build,
     // serving layout DERIVED from it (rebucket transform, no second
@@ -266,6 +277,7 @@ object SparkEntry {
     "q_topk_merged"     -> OracleSql.topkSql(),
     "q_topk_conj"       -> OracleSql.topkConjSql(),
     "q_phrase_topk"     -> OracleSql.phraseTopkSql(),
+    "q_proximity_topk"  -> OracleSql.proximityTopkSql(),
     "q_postings_decode" -> OracleSql.postingsSql,
     "q_postings_pfor"   -> OracleSql.postingsSql,
     "q_dedup_exact"     -> extra.OracleSqlExtra.dedupExactSql,

@@ -66,6 +66,45 @@ class PositionalSpec extends AnyFunSuite {
     }
   }
 
+  /** Naive ordered-proximity tf: #position pairs (pa, pb) of (t1, t2)
+    * with 1 ≤ pb − pa ≤ slop + 1. */
+  private def naiveProxTf(tokens: Seq[String], t1: String, t2: String,
+                          slop: Int): Int = {
+    val pa = tokens.zipWithIndex.collect { case (t, i) if t == t1 => i }
+    val pb = tokens.zipWithIndex.collect { case (t, i) if t == t2 => i }
+    pa.map(a => pb.count(b => b > a && b <= a + slop + 1)).sum
+  }
+
+  test("proximityHits == naive window count; slop 0 == phrase (property fuzz)") {
+    val rnd = new Random(2024)
+    import spark.implicits._
+    (0 until 5).foreach { round =>
+      val vocab = Vector("a", "b", "c")
+      val corpus = (0 until 30).map { i =>
+        val n = 3 + rnd.nextInt(25)
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docsDf = corpus.toDF("doc_id", "text")
+      val pairs = Seq(
+        (1, "a", "b", 0), (2, "a", "b", 3), (3, "a", "a", 2),
+        (4, "b", "c", 1), (5, "a", "zz", 4))
+      val pos = Positional.build(spark, docsDf, width = 8)
+      val got = Positional.proximityHits(spark, pos, pairs)
+        .as[(Int, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (pid, t1, t2, slop) <- pairs
+        (doc, text) <- corpus
+        toks = Tokenize.tokenize(text)
+        tf = naiveProxTf(toks, t1, t2, slop) if tf > 0
+      } yield (pid, doc, tf.toLong, toks.size.toLong)).toSet
+      assert(got == want, s"round $round")
+      // slop 0 ≡ the bigram phrase
+      val phr = Positional.phraseHits(spark, pos, Seq(1 -> Seq("a", "b")))
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(phr == got.filter(_._1 == 1), s"round $round: slop0 != phrase")
+    }
+  }
+
   test("phraseTopK: frozen order, dense ranks, absent-term phrases empty") {
     import spark.implicits._
     val docsDf = Stats.readDocuments(spark, "/root/testdata/sf0.001")
