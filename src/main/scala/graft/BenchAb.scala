@@ -74,6 +74,7 @@ object BenchAb {
         val tq = System.nanoTime()
         QueryEngine.runOnHandle(spark, handle, batch).count()
         val qs = (System.nanoTime() - tq) / 1e9
+        handle.close() // release the serving cache: this loop opens reps × variants handles
         qtimes(name) = qs :: qtimes.getOrElse(name, Nil)
         System.err.println(f"[ab] $name build=$s%.2fs query=$qs%.2fs bytes=${sizes(name)}")
       } else System.err.println(f"[ab] $name $s%.2fs")

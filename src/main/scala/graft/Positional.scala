@@ -153,10 +153,14 @@ object Positional {
       }
   }
 
-  /** Persist / reopen (bytes column + term-sorted row groups: a phrase
-    * query's `term isin` pushes down to row-group skipping). */
+  /** Persist / reopen. The local sort by term before the write is what
+    * actually makes the docstring's promise true: each parquet file's row
+    * groups then carry tight term min/max stats, so a phrase query's
+    * `term isin` prunes row groups instead of scanning everything (the
+    * hash-shuffled mapGroups output alone has vocabulary-wide ranges). */
   def write(pos: Dataset[PosRow], dir: String): Unit =
-    pos.write.mode("overwrite").parquet(dir)
+    pos.sortWithinPartitions("term", "bucket")
+      .write.mode("overwrite").parquet(dir)
   def read(spark: SparkSession, dir: String): Dataset[PosRow] = {
     import spark.implicits._
     spark.read.parquet(dir).as[PosRow]
@@ -243,7 +247,9 @@ object Positional {
         }.toMap
         var scratch = new Array[Int](256)
         bc.value.iterator.flatMap { case (pid, terms) =>
-          if (!terms.forall(flat.contains)) Iterator.empty
+          // empty term lists (a phrase that tokenized to nothing) match
+          // nothing — and must not reach lists(0) below
+          if (terms.isEmpty || !terms.forall(flat.contains)) Iterator.empty
           else {
             val lists = terms.map(flat).toArray
             val nl = lists.length
@@ -388,9 +394,11 @@ object Positional {
                     pairs: Seq[(Int, String, String, Int)], k: Int,
                     nDocs: Long, avgdl: Double): DataFrame = {
     import spark.implicits._
-    val hits = proximityHits(spark, pos, pairs)
-    val dfs = hits.groupBy($"pair_id").agg(count(lit(1)).as("df"))
-    hits.join(broadcast(dfs), "pair_id")
+    // df via a window over the same partition key as the rank window: ONE
+    // evaluation of the hits subtree (an agg+join would run the decode +
+    // window-walk job twice — once per plan branch)
+    proximityHits(spark, pos, pairs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"pair_id")))
       .select($"pair_id", $"doc_id",
         Bm25.contribMicroCol(nDocs, avgdl, $"df", $"tf", $"dl").as("score_micro"))
       .withColumn("rank", row_number().over(
@@ -410,14 +418,16 @@ object Positional {
                  phrases: Seq[(Int, Seq[String])], k: Int,
                  nDocs: Long, avgdl: Double): DataFrame = {
     import spark.implicits._
-    val hits = phraseHits(spark, pos, phrases)
-    val dfs = hits.groupBy($"phrase_id").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy($"phrase_id")
-      .orderBy($"score_micro".desc, $"doc_id".asc)
-    hits.join(broadcast(dfs), "phrase_id")
+    // df via a window over the same partition key as the rank window: ONE
+    // evaluation of the hits subtree (an agg+join would run the decode +
+    // intersection job twice — once per plan branch)
+    phraseHits(spark, pos, phrases)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"phrase_id")))
       .select($"phrase_id", $"doc_id",
         Bm25.contribMicroCol(nDocs, avgdl, $"df", $"tf", $"dl").as("score_micro"))
-      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"phrase_id").orderBy($"score_micro".desc, $"doc_id".asc))
+        .cast("int"))
       .where($"rank" <= k)
       .select($"phrase_id", $"rank", $"doc_id", $"score_micro")
       .orderBy($"phrase_id", $"rank")

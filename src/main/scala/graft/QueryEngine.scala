@@ -207,14 +207,20 @@ object QueryEngine {
     }
 
     // Tag added once per accumulated posting: keeps every touched slot
-    // nonzero (scores fit far below bit 42: ≤ ~4e7 micros/term, and the
-    // tag count is the per-doc matched-list count ≤ nl < 2^20).
+    // nonzero and counts matched lists in the high bits. The guard bound
+    // comes from the score side, not the count side: one contribution is
+    // ≤ ~6.1e7 micros (idf ≤ ln(2N) ≈ 27.6 even at N = 10^12, × 2.2e6),
+    // so a per-doc sum stays below bit 42 only while
+    // nl ≤ 2^42 / 6.1e7 ≈ 7.2e4 — enforce 2^16 with margin. Above it the
+    // sum would bleed into the tag count and corrupt BOTH fields silently.
     private val DenseTag = 1L << 42
     private val DenseMask = DenseTag - 1
+    private val MaxTaggedLists = 1 << 16
 
     private def scoreDense(nl: Int, base: Long, heap: QueryHeap,
                            required: Int = 0): Int = {
-      require(nl < (1 << 20), s"dense scorer supports < 2^20 lists, got $nl")
+      require(nl <= MaxTaggedLists,
+        s"tagged scorer supports <= $MaxTaggedLists lists, got $nl")
       java.util.Arrays.fill(scores, 0L)
       var li = 0
       while (li < nl) {
@@ -252,6 +258,8 @@ object QueryEngine {
       * count equals `required` reach the heap. */
     private def scoreSparseConj(nl: Int, base: Long, heap: QueryHeap,
                                 required: Int): Int = {
+      require(nl <= MaxTaggedLists,
+        s"tagged scorer supports <= $MaxTaggedLists lists, got $nl")
       curStamp += 1
       var nTouched = 0
       var li = 0
@@ -350,22 +358,26 @@ object QueryEngine {
     import spark.implicits._
     val terms = plan.termToQueries.keys.toSeq
     val filtered = whereTerms(postings, terms)
+    // conjunctive batches always take the doc-partitioned TAAT path: AND
+    // evaluation is a per-doc intersection, which the bucket scorer does
+    // natively (per-doc matched-list count); the per-query WAND grouping
+    // below has no conjunctive mode. Checked BEFORE the termN sizing job —
+    // that aggregation re-evaluates the (possibly unpersisted) postings
+    // pipeline, and its result would be unused here.
+    def rerouted(): DataFrame = {
+      val width = if (plan.bucketWidth > 0) plan.bucketWidth
+                  else 4096L // in-memory postings carry no geometry; any positive width is rank-safe
+      runDocPartitioned(spark,
+        rebucketByRange(filtered, width, Codec.BlockSize),
+        plan.copy(bucketWidth = width), effort, preFiltered = true)
+    }
+    if (plan.conjunctive) return rerouted()
     val termN = filtered.groupBy($"term").agg(sum($"n").as("tot"))
       .as[(String, Long)].collect().toMap
     val worstQuery = plan.queryTermSets.values
       .map(_.iterator.map(termN.getOrElse(_, 0L)).sum)
       .maxOption.getOrElse(0L)
-    // conjunctive batches always take the doc-partitioned TAAT path: AND
-    // evaluation is a per-doc intersection, which the bucket scorer does
-    // natively (per-doc matched-list count); the per-query WAND grouping
-    // below has no conjunctive mode.
-    if (plan.conjunctive || worstQuery > maxGroupPostings) {
-      val width = if (plan.bucketWidth > 0) plan.bucketWidth
-                  else 4096L // in-memory postings carry no geometry; any positive width is rank-safe
-      return runDocPartitioned(spark,
-        rebucketByRange(filtered, width, Codec.BlockSize),
-        plan.copy(bucketWidth = width), effort, preFiltered = true)
-    }
+    if (worstQuery > maxGroupPostings) return rerouted()
     val bc = spark.sparkContext.broadcast(plan)
     val hits = filtered
       .flatMap { row =>
@@ -655,6 +667,7 @@ object QueryEngine {
       }
       spark.createDataset(hits).toDF()
         .select($"query_id", $"rank", $"doc_id", $"score_micro")
+        .orderBy($"query_id", $"rank") // same declared order as the distributed branch
     } else partials
       .groupByKey(_._1)
       .reduceGroups { (a: (Int, Seq[TopK.Cand]), b: (Int, Seq[TopK.Cand])) =>
