@@ -58,6 +58,24 @@ object Oracle {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Attribute-filtered exact top-k: same global-stats scores, candidacy
+    * restricted by a semi-join against the docs whose `attr` is IN
+    * `values` — the ground truth for [[QueryEngine]]'s [[Attrs]] filter
+    * path (filter restricts candidates, never scoring). */
+  def topkFiltered(spark: SparkSession, docs: DataFrame, attr: String,
+                   values: Seq[String], k: Int = QuerySet.K,
+                   queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms): DataFrame = {
+    import spark.implicits._
+    val allowed = docs.where(col(attr).isin(values: _*)).select(col("doc_id"))
+    val w = Window.partitionBy($"query_id").orderBy($"score_micro".desc, $"doc_id".asc)
+    scores(spark, docs, queries)
+      .join(allowed, Seq("doc_id"), "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Same result via the bounded-heap [[TopK.Agg]] aggregator (the
     * treeReduce-style scale path, SURVEY.md §2.6 T2). */
   def topkViaHeap(spark: SparkSession, docs: DataFrame, k: Int = QuerySet.K): DataFrame = {

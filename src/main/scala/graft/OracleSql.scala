@@ -82,6 +82,36 @@ object OracleSql {
        |SELECT query_id, rank, doc_id, score_micro FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Attribute-filtered BM25 top-k mirror: candidates restricted to docs
+    * whose `attr` is IN `values`; df/avgdl stay CORPUS-global (a filter
+    * changes candidacy, not scoring — the engine side scores with the
+    * same global stats and masks candidates per bucket, [[Attrs]]). */
+  def topkFilteredSql(attr: String, values: Seq[String],
+                      k: Int = QuerySet.K): String = {
+    val inList = values.map(v => s"'$v'").mkString(", ")
+    s"""WITH $corpusCtes, $queriesCte,
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id, $contribExpr AS c
+       |  FROM qterms q
+       |  JOIN tf ON q.term = tf.term
+       |  JOIN dfs ON q.term = dfs.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN documents d ON tf.doc_id = d.doc_id
+       |  WHERE d.$attr IN ($inList)
+       |), scores AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |  FROM contrib GROUP BY query_id, doc_id
+       |), ranked AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank,
+       |         doc_id, score_micro
+       |  FROM scores
+       |)
+       |SELECT query_id, rank, doc_id, score_micro FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Conjunctive (AND) BM25 top-k: docs matched by EVERY distinct query
     * term, scored by the same BM25 sum. `matched` counts the (query, doc)
     * contrib rows — one per query term present in the doc — and must equal

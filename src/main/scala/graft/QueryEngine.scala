@@ -68,7 +68,12 @@ object QueryEngine {
       termToQueries: Map[String, Seq[Int]],
       queryTermSets: Map[Int, Seq[String]],
       bucketWidth: Long = 0L, // doc-partitioned batch scoring needs the geometry
-      conjunctive: Boolean = false) // AND semantics: docs must match EVERY query term
+      conjunctive: Boolean = false, // AND semantics: docs must match EVERY query term
+      // attribute filter as virtual posting lists ([[Attrs]]): a doc may
+      // reach any heap only if it appears in at least one of these lists
+      // (OR across the values of an IN-predicate). BM25 stats stay
+      // corpus-global — a filter restricts candidates, not scoring.
+      filterTerms: Seq[String] = Nil)
 
   /** Build the batch plan from per-term stats (df) + corpus scalars.
     * `termStats` may be the full stats table; only query terms are used.
@@ -172,10 +177,18 @@ object QueryEngine {
       * conjunctive — only docs matched by exactly m lists qualify (the
       * caller passes the query's FULL distinct-term count, so a term with
       * no postings in this bucket excludes every doc of the bucket: a
-      * doc lives in exactly one bucket, so per-bucket AND is global AND). */
+      * doc lives in exactly one bucket, so per-bucket AND is global AND).
+      *
+      * `allowed != null` is an attribute filter ([[Attrs]]): only local
+      * doc offsets with `allowed(ix)` may reach the heap. The mask gates
+      * the OFFER, not the accumulation — contributions are summed for all
+      * docs (branch-free hot loops stay branch-free) and filtered at the
+      * single selection point of each shape; the unfiltered paths run the
+      * exact loops they ran before (null mask ⇒ the pre-filter code). */
     def score(queryTerms: Seq[String],
               termLists: scala.collection.Map[String, (Array[Int], Array[Long])],
-              base: Long, heap: QueryHeap, required: Int = 0): Int = {
+              base: Long, heap: QueryHeap, required: Int = 0,
+              allowed: Array[Boolean] = null): Int = {
       var nl = 0
       var total = 0
       if (gIdx.length < queryTerms.size) {
@@ -191,18 +204,25 @@ object QueryEngine {
       }
       if (nl == 0) 0
       else if (required > 0 && nl < required) 0 // conj: a term absent here excludes the whole bucket
-      else if (nl == 1 && required <= 1) scoreSingle(gIdx(0), gCs(0), base, heap)
-      else if (total >= width) scoreDense(nl, base, heap, required)
-      else if (required > 0) scoreSparseConj(nl, base, heap, required)
-      else scoreSparse(nl, base, heap)
+      else if (nl == 1 && required <= 1) scoreSingle(gIdx(0), gCs(0), base, heap, allowed)
+      else if (total >= width) scoreDense(nl, base, heap, required, allowed)
+      else if (required > 0) scoreSparseConj(nl, base, heap, required, allowed)
+      else scoreSparse(nl, base, heap, allowed)
     }
 
     /** One list: the list IS the score column — stream it into the heap. */
     private def scoreSingle(idxs: Array[Int], cs: Array[Long],
-                            base: Long, heap: QueryHeap): Int = {
+                            base: Long, heap: QueryHeap,
+                            allowed: Array[Boolean]): Int = {
       var i = 0
       val n = idxs.length
-      while (i < n) { heap.offer(cs(i), base + idxs(i)); i += 1 }
+      if (allowed == null)
+        while (i < n) { heap.offer(cs(i), base + idxs(i)); i += 1 }
+      else
+        while (i < n) {
+          if (allowed(idxs(i))) heap.offer(cs(i), base + idxs(i))
+          i += 1
+        }
       n
     }
 
@@ -218,7 +238,8 @@ object QueryEngine {
     private val MaxTaggedLists = 1 << 16
 
     private def scoreDense(nl: Int, base: Long, heap: QueryHeap,
-                           required: Int = 0): Int = {
+                           required: Int = 0,
+                           allowed: Array[Boolean] = null): Int = {
       require(nl <= MaxTaggedLists,
         s"tagged scorer supports <= $MaxTaggedLists lists, got $nl")
       java.util.Arrays.fill(scores, 0L)
@@ -231,23 +252,44 @@ object QueryEngine {
         while (i < n) { scores(idxs(i)) += cs(i) + DenseTag; i += 1 }
         li += 1
       }
+      // four scan variants so the pre-filter loops stay byte-identical
+      // (the dense scan is the hottest loop of the engine; a loop-variant
+      // mask check must not tax unfiltered batches)
       var cand = 0
       var d = 0
       if (required == 0) {
-        while (d < width) {
-          val v = scores(d)
-          if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
-          d += 1
+        if (allowed == null) {
+          while (d < width) {
+            val v = scores(d)
+            if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
+            d += 1
+          }
+        } else {
+          while (d < width) {
+            val v = scores(d)
+            if (v != 0L && allowed(d)) { cand += 1; heap.offer(v & DenseMask, base + d) }
+            d += 1
+          }
         }
       } else {
         // conjunctive: the tag count IS the per-doc matched-list count
         val want = required.toLong << 42
-        while (d < width) {
-          val v = scores(d)
-          if (v != 0L && (v & ~DenseMask) == want) {
-            cand += 1; heap.offer(v & DenseMask, base + d)
+        if (allowed == null) {
+          while (d < width) {
+            val v = scores(d)
+            if (v != 0L && (v & ~DenseMask) == want) {
+              cand += 1; heap.offer(v & DenseMask, base + d)
+            }
+            d += 1
           }
-          d += 1
+        } else {
+          while (d < width) {
+            val v = scores(d)
+            if (v != 0L && (v & ~DenseMask) == want && allowed(d)) {
+              cand += 1; heap.offer(v & DenseMask, base + d)
+            }
+            d += 1
+          }
         }
       }
       cand
@@ -257,7 +299,8 @@ object QueryEngine {
       * queries below the dense threshold: only docs whose matched-list
       * count equals `required` reach the heap. */
     private def scoreSparseConj(nl: Int, base: Long, heap: QueryHeap,
-                                required: Int): Int = {
+                                required: Int,
+                                allowed: Array[Boolean] = null): Int = {
       require(nl <= MaxTaggedLists,
         s"tagged scorer supports <= $MaxTaggedLists lists, got $nl")
       curStamp += 1
@@ -280,16 +323,27 @@ object QueryEngine {
       }
       val want = required.toLong << 42
       var j = 0
-      while (j < nTouched) {
-        val ix = touched(j)
-        val v = scores(ix)
-        if ((v & ~DenseMask) == want) heap.offer(v & DenseMask, base + ix)
-        j += 1
+      if (allowed == null) {
+        while (j < nTouched) {
+          val ix = touched(j)
+          val v = scores(ix)
+          if ((v & ~DenseMask) == want) heap.offer(v & DenseMask, base + ix)
+          j += 1
+        }
+      } else {
+        while (j < nTouched) {
+          val ix = touched(j)
+          val v = scores(ix)
+          if ((v & ~DenseMask) == want && allowed(ix))
+            heap.offer(v & DenseMask, base + ix)
+          j += 1
+        }
       }
       nTouched
     }
 
-    private def scoreSparse(nl: Int, base: Long, heap: QueryHeap): Int = {
+    private def scoreSparse(nl: Int, base: Long, heap: QueryHeap,
+                            allowed: Array[Boolean] = null): Int = {
       curStamp += 1
       var nTouched = 0
       var li = 0
@@ -308,10 +362,18 @@ object QueryEngine {
         li += 1
       }
       var j = 0
-      while (j < nTouched) {
-        val ix = touched(j)
-        heap.offer(scores(ix), base + ix)
-        j += 1
+      if (allowed == null) {
+        while (j < nTouched) {
+          val ix = touched(j)
+          heap.offer(scores(ix), base + ix)
+          j += 1
+        }
+      } else {
+        while (j < nTouched) {
+          val ix = touched(j)
+          if (allowed(ix)) heap.offer(scores(ix), base + ix)
+          j += 1
+        }
       }
       nTouched
     }
@@ -357,13 +419,16 @@ object QueryEngine {
           maxGroupPostings: Long = MaxGroupPostings): DataFrame = {
     import spark.implicits._
     val terms = plan.termToQueries.keys.toSeq
-    val filtered = whereTerms(postings, terms)
-    // conjunctive batches always take the doc-partitioned TAAT path: AND
-    // evaluation is a per-doc intersection, which the bucket scorer does
-    // natively (per-doc matched-list count); the per-query WAND grouping
-    // below has no conjunctive mode. Checked BEFORE the termN sizing job —
-    // that aggregation re-evaluates the (possibly unpersisted) postings
-    // pipeline, and its result would be unused here.
+    val filtered = whereTerms(postings, terms ++ plan.filterTerms)
+    // conjunctive and attr-filtered batches always take the doc-partitioned
+    // TAAT path: AND evaluation is a per-doc intersection, which the bucket
+    // scorer does natively (per-doc matched-list count), and the attr mask
+    // is a per-bucket structure only that scorer holds; the per-query WAND
+    // grouping below has neither mode. (Filtered callers must have unioned
+    // the virtual filter lists into `postings` — [[runOnHandle]] does.)
+    // Checked BEFORE the termN sizing job — that aggregation re-evaluates
+    // the (possibly unpersisted) postings pipeline, and its result would
+    // be unused here.
     def rerouted(): DataFrame = {
       val width = if (plan.bucketWidth > 0) plan.bucketWidth
                   else 4096L // in-memory postings carry no geometry; any positive width is rank-safe
@@ -371,7 +436,7 @@ object QueryEngine {
         rebucketByRange(filtered, width, Codec.BlockSize),
         plan.copy(bucketWidth = width), effort, preFiltered = true)
     }
-    if (plan.conjunctive) return rerouted()
+    if (plan.conjunctive || plan.filterTerms.nonEmpty) return rerouted()
     val termN = filtered.groupBy($"term").agg(sum($"n").as("tot"))
       .as[(String, Long)].collect().toMap
     val worstQuery = plan.queryTermSets.values
@@ -536,8 +601,10 @@ object QueryEngine {
     val width = plan.bucketWidth.toInt
     require(width > 0, "doc-partitioned plan needs bucketWidth from meta")
     // preFiltered: caller already restricted to the batch's terms (the
-    // head-heavy rebucket path) — don't plan a second semi-join stage
-    val filtered = if (preFiltered) postings else whereTerms(postings, terms)
+    // head-heavy rebucket path) — don't plan a second semi-join stage.
+    // An attr-filtered batch also keeps its virtual filter lists.
+    val filtered = if (preFiltered) postings
+                   else whereTerms(postings, terms ++ plan.filterTerms)
     // bucketLocal: the caller guarantees every bucket's rows are already
     // co-located in one input partition (the handle's cached serving
     // layout) — the repartition below would be a pure re-shuffle of the
@@ -575,13 +642,37 @@ object QueryEngine {
         var decodeNs = 0L; var contribNs = 0L; var scoreNs = 0L
         byBucket.foreach { case (bucket, termRows) =>
           val base = bucket.toLong * w
+          // Attribute filter: fold this bucket's virtual filter lists
+          // ([[Attrs]] rows riding the same posting stream) into a local
+          // allowed-offset mask — OR across the predicate's values. A
+          // filtered plan with NO filter row here means no doc of this
+          // bucket matches the predicate: skip the bucket outright.
+          var allowed: Array[Boolean] = null
+          var anyAllowed = true
+          if (p.filterTerms.nonEmpty) {
+            allowed = new Array[Boolean](w)
+            anyAllowed = false
+            p.filterTerms.foreach { ft =>
+              termRows.get(ft).foreach(_.foreach(_.blocks.foreach { b =>
+                val (ds, _, _) = Codec.decodeBlock(b)
+                var i = 0
+                while (i < ds.length) {
+                  allowed((ds(i) - base).toInt) = true
+                  i += 1
+                }
+                anyAllowed ||= ds.length > 0
+              }))
+            }
+          }
+          if (anyAllowed) {
           // decode each term's postings ONCE; precompute micro-contribs
           // (and the term's max contrib = its block-max bound) ONCE,
           // shared by every query using the term
           var bucketBlocks = 0L
           val maxC = scala.collection.mutable.HashMap.empty[String, Long]
           val termLists: Map[String, (Array[Int], Array[Long])] =
-            termRows.iterator.map { case (t, rows) =>
+            termRows.iterator.filter(e => !Attrs.isFilterTerm(e._1))
+              .map { case (t, rows) =>
               val idf = p.termIdf(t)
               val n = rows.iterator.map(_.n).sum.toInt
               val idxs = new Array[Int](n)
@@ -625,13 +716,15 @@ object QueryEngine {
             } else {
               val t0 = if (prof) System.nanoTime() else 0L
               val req = if (p.conjunctive) p.queryTermSets(qid).size else 0
-              val nTouched = taat.score(p.queryTermSets(qid), termLists, base, heap, req)
+              val nTouched =
+                taat.score(p.queryTermSets(qid), termLists, base, heap, req, allowed)
               effort.foreach { a =>
                 scoreNs += System.nanoTime() - t0
                 a.wandCalls.add(1L); a.docsScored.add(nTouched.toLong)
               }
             }
           }
+          } // anyAllowed
         }
         effort.foreach { a =>
           a.decodeNanos.add(decodeNs); a.contribNanos.add(contribNs)
@@ -704,7 +797,12 @@ object QueryEngine {
   final case class IndexHandle(dir: String, meta: IndexBuild.Meta,
                                segments: Dataset[PostingRow],
                                stats: DataFrame,
-                               served: Option[Dataset[PostingRow]] = None) {
+                               served: Option[Dataset[PostingRow]] = None,
+                               // the serving cache carries the attr
+                               // sidecar's virtual filter lists (false for
+                               // a sidecar written AFTER the open — then
+                               // filtered batches bypass the cache)
+                               attrsCached: Boolean = false) {
     /** Release the cached serving layout (no-op for uncached handles). */
     def close(): Unit = served.foreach(_.unpersist())
   }
@@ -725,31 +823,50 @@ object QueryEngine {
     val meta = IndexBuild.readMeta(spark, dir)
     val segments = IndexBuild.readSegments(spark, dir)
     val served =
-      if (cacheServing && meta.doc_partitioned)
-        Some(segments.repartition(org.apache.spark.sql.functions.col("bucket"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else None
+      if (cacheServing && meta.doc_partitioned) {
+        // An attribute sidecar (virtual filter lists, [[Attrs]]) loads
+        // into the SAME cache: filter rows bucket like postings and are
+        // tiny beside them (one docId per doc per attr vs one posting per
+        // token), so filtered batches serve from memory too. Unfiltered
+        // batches drop them in their whereTerms semi-join as usual.
+        val hasAttrs = Attrs.hasAttrs(spark, dir)
+        val withAttrs =
+          if (hasAttrs) segments.union(Attrs.allFilterRows(spark, dir))
+          else segments
+        (Some(withAttrs.repartition(org.apache.spark.sql.functions.col("bucket"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+          hasAttrs)
+      } else (None, false)
     IndexHandle(dir, meta, segments, spark.read.parquet(s"$dir/stats/terms"),
-      served)
+      served._1, attrsCached = served._2)
   }
 
   def runOnIndex(spark: SparkSession, dir: String,
                  queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
                  k: Int = QuerySet.K,
                  effort: Option[EffortAccs] = None,
-                 conjunctive: Boolean = false): DataFrame =
+                 conjunctive: Boolean = false,
+                 filter: Option[(String, Seq[String])] = None): DataFrame =
     // query-once entry point: a serving cache would never be reused (and
     // never released) — open uncached
     runOnHandle(spark, openIndex(spark, dir, cacheServing = false),
-      queries, k, effort, conjunctive)
+      queries, k, effort, conjunctive, filter)
 
   /** One query batch against an opened index (load once, query many —
-    * the reference's test-harness shape). */
+    * the reference's test-harness shape).
+    *
+    * `filter = Some((attr, values))` restricts results to docs whose
+    * persisted attribute (an [[Attrs]] sidecar next to the index) is IN
+    * `values` — BM25 stats stay corpus-global, only candidacy changes.
+    * The predicate's virtual posting lists join the batch's stream: from
+    * the serving cache when the handle holds one (openIndex folds the
+    * sidecar in), else unioned before the bucket co-shuffle. */
   def runOnHandle(spark: SparkSession, h: IndexHandle,
                   queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms,
                   k: Int = QuerySet.K,
                   effort: Option[EffortAccs] = None,
-                  conjunctive: Boolean = false): DataFrame = {
+                  conjunctive: Boolean = false,
+                  filter: Option[(String, Seq[String])] = None): DataFrame = {
     import spark.implicits._
     val meta = h.meta
     val qTerms = queries.flatMap(_._2).distinct
@@ -762,16 +879,35 @@ object QueryEngine {
     val termDf = statsRows.map(r => (r._1, r._2)).toMap
     val termMaxBucket = statsRows.map(r => (r._1, r._3)).toMap
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
+    val fTerms = filter.toSeq.flatMap { case (a, vs) => vs.map(Attrs.filterTerm(a, _)) }
     val p = plan(cs, termDf, queries, k, conjunctive)
-      .copy(bucketWidth = meta.bucket_width)
+      .copy(bucketWidth = meta.bucket_width, filterTerms = fTerms)
+    def fRows(): Dataset[PostingRow] = {
+      val (a, vs) = filter.get
+      Attrs.filterRows(spark, h.dir, a, vs)
+    }
     if (meta.doc_partitioned)
       h.served match {
-        case Some(cached) =>
+        case Some(cached) if fTerms.isEmpty || h.attrsCached =>
+          // filtered batches may use the cache only if it carries the
+          // attr sidecar (openIndex folds it in when present at open
+          // time) — otherwise their buckets would all look filter-empty
           runDocPartitioned(spark, cached, p, effort, bucketLocal = true)
-        case None =>
-          runDocPartitioned(spark, h.segments, p, effort)
+        case _ =>
+          val base = if (fTerms.isEmpty) h.segments else h.segments.union(fRows())
+          runDocPartitioned(spark, base, p, effort)
       }
-    else {
+    else if (fTerms.nonEmpty) {
+      // term-partitioned + attr filter: the mask is a doc-range structure,
+      // so serve through the re-bucketed TAAT path with the filter lists
+      // riding the same shuffle (they are already range-bucketed; the
+      // rebucket passes them through untouched).
+      val pruned = whereTerms(h.segments, termDf.keys.toSeq)
+      runDocPartitioned(spark,
+        rebucketByRange(pruned, meta.bucket_width, meta.block_size)
+          .union(fRows()),
+        p, effort, preFiltered = true)
+    } else {
       prunedPartIds(spark, meta, termMaxBucket, queries) match {
         // few candidate pairs → exact partition pruning + per-query WAND
         // (the rare-term fast path: reads 1..few partitions)

@@ -136,6 +136,22 @@ object SparkEntry {
       IndexBuild.deriveDocPartitioned(s, termDir, serveDir)
       QueryEngine.runOnIndex(s, serveDir)
     }),
+    // --- attribute-filtered retrieval: the same serving lifecycle plus
+    // an attr sidecar (virtual posting lists per (attr=value, bucket),
+    // Attrs.scala) and a lang IN ('es','de') predicate masked per bucket
+    // in the TAAT scorer. BM25 stats stay corpus-global; the DuckDB
+    // mirror applies the same predicate to the same corpus ---------------
+    "q_topk_filtered" -> ((s, dir) => {
+      val root = scratchDir("filter-idx-")
+      val termDir = s"$root/term"
+      val serveDir = s"$root/serve"
+      val d = docs(s, dir)
+      IndexBuild.writeIndex(s, d, termDir, testConfig)
+      IndexBuild.deriveDocPartitioned(s, termDir, serveDir)
+      Attrs.writeAttrs(s, d, serveDir, Seq("lang"))
+      QueryEngine.runOnIndex(s, serveDir,
+        filter = Some(("lang", Seq("es", "de"))))
+    }),
     // --- merge lifecycle (J5, the north-star multi-pass merge: full-outer
     // stats join + re-salted posting rebuild): the corpus split into two
     // disjoint docId intervals, each built to disk independently, merged
@@ -274,6 +290,7 @@ object SparkEntry {
     "q_topk_heap"       -> OracleSql.topkSql(),
     "q_topk_indexed"    -> OracleSql.topkSql(),
     "q_topk_serving"    -> OracleSql.topkSql(),
+    "q_topk_filtered"   -> OracleSql.topkFilteredSql("lang", Seq("es", "de")),
     "q_topk_merged"     -> OracleSql.topkSql(),
     "q_topk_conj"       -> OracleSql.topkConjSql(),
     "q_phrase_topk"     -> OracleSql.phraseTopkSql(),

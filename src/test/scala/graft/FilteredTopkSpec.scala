@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Attribute-filtered retrieval ([[Attrs]] virtual posting lists masked in
+  * the TAAT scorer): every serving shape must equal the exact
+  * global-stats-semi-join oracle [[Oracle.topkFiltered]], and the filter
+  * must compose with conjunctive (AND) semantics. */
+class FilteredTopkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+  private val attr = "lang"
+  private val values = Seq("es", "de")
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "fidx").toString
+
+  private def rows(df: DataFrame): Seq[(Int, Int, Long, Long)] = {
+    import spark.implicits._
+    df.select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
+      .as[(Int, Int, Long, Long)].collect().toSeq
+  }
+
+  private lazy val docs = Stats.readDocuments(spark, sfDir)
+  private lazy val oracle = rows(Oracle.topkFiltered(spark, docs, attr, values))
+  private lazy val langOf: Map[Long, String] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("lang"))
+      .as[(Long, String)].collect().toMap
+  }
+
+  /** One serving root with term + derived doc-partitioned layout + attrs,
+    * shared across the path tests. */
+  private lazy val root: String = {
+    val r = tmpDir()
+    IndexBuild.writeIndex(spark, docs, s"$r/term", SparkEntry.testConfig)
+    IndexBuild.deriveDocPartitioned(spark, s"$r/term", s"$r/serve")
+    Attrs.writeAttrs(spark, docs, s"$r/serve", Seq(attr))
+    Attrs.writeAttrs(spark, docs, s"$r/term", Seq(attr))
+    r
+  }
+
+  test("filtered serving query == exact semi-join oracle (doc-partitioned, uncached)") {
+    assert(oracle.nonEmpty)
+    // the filter changes results vs unfiltered (otherwise this spec tests nothing)
+    val unfiltered = rows(Oracle.topk(spark, docs))
+    assert(oracle != unfiltered)
+    val got = rows(QueryEngine.runOnIndex(spark, s"$root/serve",
+      filter = Some((attr, values))))
+    assert(got == oracle)
+    // every hit doc satisfies the predicate
+    got.foreach { case (_, _, d, _) => assert(values.contains(langOf(d))) }
+  }
+
+  test("filtered query from the cached serving handle == oracle; handle serves both modes") {
+    val h = QueryEngine.openIndex(spark, s"$root/serve")
+    try {
+      assert(h.attrsCached)
+      val got = rows(QueryEngine.runOnHandle(spark, h, filter = Some((attr, values))))
+      assert(got == oracle)
+      // the SAME cached handle still answers unfiltered batches exactly
+      val unf = rows(QueryEngine.runOnHandle(spark, h))
+      assert(unf == rows(Oracle.topk(spark, docs)))
+    } finally h.close()
+  }
+
+  test("sidecar written AFTER open: cache lacks filter lists, handle falls back and stays exact") {
+    val r = tmpDir()
+    IndexBuild.writeIndex(spark, docs, s"$r/term",
+      SparkEntry.testConfig.copy(docPartitioned = true))
+    val h = QueryEngine.openIndex(spark, s"$r/term")
+    try {
+      assert(!h.attrsCached)
+      Attrs.writeAttrs(spark, docs, s"$r/term", Seq(attr))
+      val got = rows(QueryEngine.runOnHandle(spark, h, filter = Some((attr, values))))
+      assert(got == oracle)
+    } finally h.close()
+  }
+
+  test("filtered query over the TERM-partitioned layout (rebucket fallback) == oracle") {
+    val got = rows(QueryEngine.runOnIndex(spark, s"$root/term",
+      filter = Some((attr, values))))
+    assert(got == oracle)
+  }
+
+  test("in-memory run() with unioned filter rows reroutes and == oracle") {
+    val (postings, _, meta) = {
+      val (p, stats, m) = IndexBuild.buildPostings(spark, docs, SparkEntry.testConfig)
+      (p, stats, m)
+    }
+    val cs = Stats.corpus(docs)
+    import spark.implicits._
+    val termDf = Stats.termStats(Stats.tfRows(docs))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val fTerms = values.map(Attrs.filterTerm(attr, _))
+    val p = QueryEngine.plan(cs, termDf)
+      .copy(bucketWidth = SparkEntry.testConfig.bucketWidth, filterTerms = fTerms)
+    val fRows = Attrs.attrPostings(spark, docs, attr,
+      SparkEntry.testConfig.bucketWidth, Codec.BlockSize)
+      .where($"term".isin(fTerms: _*))
+    val got = rows(QueryEngine.run(spark, postings.union(fRows), p))
+    assert(got == oracle)
+  }
+
+  test("single-value and empty-value filters behave") {
+    // majority value: exercises the dense scan's masked variant
+    val en = rows(QueryEngine.runOnIndex(spark, s"$root/serve",
+      filter = Some((attr, Seq("en")))))
+    assert(en == rows(Oracle.topkFiltered(spark, docs, attr, Seq("en"))))
+    // value absent from the corpus: no candidates anywhere
+    val none = rows(QueryEngine.runOnIndex(spark, s"$root/serve",
+      filter = Some((attr, Seq("xx_nonexistent")))))
+    assert(none.isEmpty)
+  }
+
+  test("filter composes with conjunctive (AND) semantics") {
+    // ground truth: FULL-depth conjunctive ranking (k >= N so nothing is
+    // cut), then the predicate, then re-rank — top-k of a filtered set
+    // is not the filter of the top-k, so the depth matters
+    val n = docs.count().toInt
+    val full = rows(QueryEngine.runOnIndex(spark, s"$root/serve",
+      k = n + 1, conjunctive = true))
+    val expected = full
+      .filter { case (_, _, d, _) => values.contains(langOf(d)) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (qid, hs) =>
+        hs.sortBy(h => (-h._4, h._3)).take(QuerySet.K).zipWithIndex
+          .map { case ((_, _, d, s), i) => (qid, i + 1, d, s) }
+      }
+      .sortBy(h => (h._1, h._2))
+    val got = rows(QueryEngine.runOnIndex(spark, s"$root/serve",
+      conjunctive = true, filter = Some((attr, values))))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("empty-bucket masking: a bucket with zero matching docs is skipped, results exact") {
+    import spark.implicits._
+    // synthetic corpus where the predicate value exists ONLY in the last
+    // docId range: every other bucket must be masked out entirely
+    val width = 8
+    val ds = (0L until 64L).map { i =>
+      val lang = if (i >= 56) "keep" else "drop"
+      (i, s"alpha beta w$i ${if (i % 2 == 0) "gamma" else "delta"}", lang)
+    }
+    val sdf = ds.toDF("doc_id", "text", "lang")
+    val r = tmpDir()
+    val cfg = IndexBuild.Config(numPartitions = 4, bucketWidth = width,
+      headDf = 16, docPartitioned = true)
+    IndexBuild.writeIndex(spark, sdf, r, cfg)
+    Attrs.writeAttrs(spark, sdf, r, Seq("lang"))
+    val qs = Seq((1, Seq("alpha")), (2, Seq("gamma", "delta")))
+    val got = rows(QueryEngine.runOnIndex(spark, r, queries = qs, k = 5,
+      filter = Some(("lang", Seq("keep")))))
+    val expected = rows(Oracle.topkFiltered(spark, sdf, "lang", Seq("keep"),
+      k = 5, queries = qs))
+    assert(got == expected)
+    got.foreach { case (_, _, d, _) => assert(d >= 56) }
+  }
+}
