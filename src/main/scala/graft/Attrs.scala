@@ -34,8 +34,11 @@ object Attrs {
     * can share the posting stream with real terms without collision. */
   val FilterMarker = '\u0000'
 
+  /** The marker doubles as the attr/value separator: neither side can
+    * contain U+0000 (values come from string columns of real data; a '='
+    * separator would let ("a=b","c") and ("a","b=c") collide). */
   def filterTerm(attr: String, value: String): String =
-    s"$FilterMarker$attr=$value"
+    s"$FilterMarker$attr$FilterMarker$value"
 
   def isFilterTerm(term: String): Boolean =
     term.nonEmpty && term.charAt(0) == FilterMarker

@@ -788,7 +788,12 @@ object IndexBuild {
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if (!resume)
-      Seq(s"$dir/stats/meta", segmentsDir(dir), manifestDir(dir), s"$dir/stats")
+      // Attrs sidecar too: it was bucketed with the OLD build's corpus and
+      // geometry — left behind, openIndex would fold stale filter lists
+      // into the new index (wrong filtered candidates, or out-of-range
+      // mask offsets if bucket_width changed).
+      Seq(s"$dir/stats/meta", segmentsDir(dir), manifestDir(dir), s"$dir/stats",
+          Attrs.attrsDir(dir))
         .foreach { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
@@ -988,7 +993,7 @@ object IndexBuild {
       s"$srcDir is already doc-partitioned — nothing to derive")
     val p = srcMeta.num_partitions
     Seq(s"$outDir/stats/meta", segmentsDir(outDir), manifestDir(outDir),
-      s"$outDir/stats").foreach { s =>
+      s"$outDir/stats", Attrs.attrsDir(outDir)).foreach { s =>
       val hp = new org.apache.hadoop.fs.Path(s)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     }

@@ -88,7 +88,8 @@ object OracleSql {
     * same global stats and masks candidates per bucket, [[Attrs]]). */
   def topkFilteredSql(attr: String, values: Seq[String],
                       k: Int = QuerySet.K): String = {
-    val inList = values.map(v => s"'$v'").mkString(", ")
+    // SQL string literal: double any embedded single quote
+    val inList = values.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
     s"""WITH $corpusCtes, $queriesCte,
        |contrib AS (
        |  SELECT q.query_id, tf.doc_id, $contribExpr AS c

@@ -168,6 +168,20 @@ object QueryEngine {
     // gathered per-call list references (grown on demand; no per-call alloc)
     private var gIdx = new Array[Array[Int]](8)
     private var gCs = new Array[Array[Long]](8)
+    // Attribute-filter mask, stamp-cleared like `scores`: one width-sized
+    // int array reused across ALL of this task's buckets (a fresh
+    // Array[Boolean] per bucket was alloc + zeroing the scorer otherwise
+    // avoids). beginMask() invalidates every prior allow() in O(1).
+    private val maskStamp = new Array[Int](width)
+    private var curMask = 0
+
+    /** Start a new bucket's allowed-offset mask (clears the previous one). */
+    def beginMask(): Unit = curMask += 1
+
+    /** Admit local doc offset `ix` to the current mask. */
+    def allow(ix: Int): Unit = maskStamp(ix) = curMask
+
+    @inline private def allowed(ix: Int): Boolean = maskStamp(ix) == curMask
 
     /** termLists: per term of this bucket, (docIdx within bucket, contribMicro).
       * Scores every posting of `queryTerms` present in this bucket into
@@ -179,16 +193,17 @@ object QueryEngine {
       * no postings in this bucket excludes every doc of the bucket: a
       * doc lives in exactly one bucket, so per-bucket AND is global AND).
       *
-      * `allowed != null` is an attribute filter ([[Attrs]]): only local
-      * doc offsets with `allowed(ix)` may reach the heap. The mask gates
-      * the OFFER, not the accumulation — contributions are summed for all
-      * docs (branch-free hot loops stay branch-free) and filtered at the
-      * single selection point of each shape; the unfiltered paths run the
-      * exact loops they ran before (null mask ⇒ the pre-filter code). */
+      * `masked = true` is an attribute filter ([[Attrs]]): only local doc
+      * offsets the caller passed to [[allow]] since the last [[beginMask]]
+      * may reach the heap. The mask gates the OFFER, not the
+      * accumulation — contributions are summed for all docs (branch-free
+      * hot loops stay branch-free) and filtered at the single selection
+      * point of each shape; the unfiltered paths run the exact loops they
+      * ran before (masked = false ⇒ the pre-filter code). */
     def score(queryTerms: Seq[String],
               termLists: scala.collection.Map[String, (Array[Int], Array[Long])],
               base: Long, heap: QueryHeap, required: Int = 0,
-              allowed: Array[Boolean] = null): Int = {
+              masked: Boolean = false): Int = {
       var nl = 0
       var total = 0
       if (gIdx.length < queryTerms.size) {
@@ -204,19 +219,19 @@ object QueryEngine {
       }
       if (nl == 0) 0
       else if (required > 0 && nl < required) 0 // conj: a term absent here excludes the whole bucket
-      else if (nl == 1 && required <= 1) scoreSingle(gIdx(0), gCs(0), base, heap, allowed)
-      else if (total >= width) scoreDense(nl, base, heap, required, allowed)
-      else if (required > 0) scoreSparseConj(nl, base, heap, required, allowed)
-      else scoreSparse(nl, base, heap, allowed)
+      else if (nl == 1 && required <= 1) scoreSingle(gIdx(0), gCs(0), base, heap, masked)
+      else if (total >= width) scoreDense(nl, base, heap, required, masked)
+      else if (required > 0) scoreSparseConj(nl, base, heap, required, masked)
+      else scoreSparse(nl, base, heap, masked)
     }
 
     /** One list: the list IS the score column — stream it into the heap. */
     private def scoreSingle(idxs: Array[Int], cs: Array[Long],
                             base: Long, heap: QueryHeap,
-                            allowed: Array[Boolean]): Int = {
+                            masked: Boolean): Int = {
       var i = 0
       val n = idxs.length
-      if (allowed == null)
+      if (!masked)
         while (i < n) { heap.offer(cs(i), base + idxs(i)); i += 1 }
       else
         while (i < n) {
@@ -239,7 +254,7 @@ object QueryEngine {
 
     private def scoreDense(nl: Int, base: Long, heap: QueryHeap,
                            required: Int = 0,
-                           allowed: Array[Boolean] = null): Int = {
+                           masked: Boolean = false): Int = {
       require(nl <= MaxTaggedLists,
         s"tagged scorer supports <= $MaxTaggedLists lists, got $nl")
       java.util.Arrays.fill(scores, 0L)
@@ -258,7 +273,7 @@ object QueryEngine {
       var cand = 0
       var d = 0
       if (required == 0) {
-        if (allowed == null) {
+        if (!masked) {
           while (d < width) {
             val v = scores(d)
             if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
@@ -274,7 +289,7 @@ object QueryEngine {
       } else {
         // conjunctive: the tag count IS the per-doc matched-list count
         val want = required.toLong << 42
-        if (allowed == null) {
+        if (!masked) {
           while (d < width) {
             val v = scores(d)
             if (v != 0L && (v & ~DenseMask) == want) {
@@ -300,7 +315,7 @@ object QueryEngine {
       * count equals `required` reach the heap. */
     private def scoreSparseConj(nl: Int, base: Long, heap: QueryHeap,
                                 required: Int,
-                                allowed: Array[Boolean] = null): Int = {
+                                masked: Boolean = false): Int = {
       require(nl <= MaxTaggedLists,
         s"tagged scorer supports <= $MaxTaggedLists lists, got $nl")
       curStamp += 1
@@ -323,7 +338,7 @@ object QueryEngine {
       }
       val want = required.toLong << 42
       var j = 0
-      if (allowed == null) {
+      if (!masked) {
         while (j < nTouched) {
           val ix = touched(j)
           val v = scores(ix)
@@ -343,7 +358,7 @@ object QueryEngine {
     }
 
     private def scoreSparse(nl: Int, base: Long, heap: QueryHeap,
-                            allowed: Array[Boolean] = null): Int = {
+                            masked: Boolean = false): Int = {
       curStamp += 1
       var nTouched = 0
       var li = 0
@@ -362,7 +377,7 @@ object QueryEngine {
         li += 1
       }
       var j = 0
-      if (allowed == null) {
+      if (!masked) {
         while (j < nTouched) {
           val ix = touched(j)
           heap.offer(scores(ix), base + ix)
@@ -643,21 +658,21 @@ object QueryEngine {
         byBucket.foreach { case (bucket, termRows) =>
           val base = bucket.toLong * w
           // Attribute filter: fold this bucket's virtual filter lists
-          // ([[Attrs]] rows riding the same posting stream) into a local
-          // allowed-offset mask — OR across the predicate's values. A
-          // filtered plan with NO filter row here means no doc of this
-          // bucket matches the predicate: skip the bucket outright.
-          var allowed: Array[Boolean] = null
-          var anyAllowed = true
-          if (p.filterTerms.nonEmpty) {
-            allowed = new Array[Boolean](w)
-            anyAllowed = false
+          // ([[Attrs]] rows riding the same posting stream) into the
+          // scorer's stamp-cleared allowed-offset mask — OR across the
+          // predicate's values. A filtered plan with NO filter row here
+          // means no doc of this bucket matches the predicate: skip the
+          // bucket outright.
+          val masked = p.filterTerms.nonEmpty
+          var anyAllowed = !masked
+          if (masked) {
+            taat.beginMask()
             p.filterTerms.foreach { ft =>
               termRows.get(ft).foreach(_.foreach(_.blocks.foreach { b =>
                 val (ds, _, _) = Codec.decodeBlock(b)
                 var i = 0
                 while (i < ds.length) {
-                  allowed((ds(i) - base).toInt) = true
+                  taat.allow((ds(i) - base).toInt)
                   i += 1
                 }
                 anyAllowed ||= ds.length > 0
@@ -717,7 +732,7 @@ object QueryEngine {
               val t0 = if (prof) System.nanoTime() else 0L
               val req = if (p.conjunctive) p.queryTermSets(qid).size else 0
               val nTouched =
-                taat.score(p.queryTermSets(qid), termLists, base, heap, req, allowed)
+                taat.score(p.queryTermSets(qid), termLists, base, heap, req, masked)
               effort.foreach { a =>
                 scoreNs += System.nanoTime() - t0
                 a.wandCalls.add(1L); a.docsScored.add(nTouched.toLong)
@@ -868,6 +883,12 @@ object QueryEngine {
                   conjunctive: Boolean = false,
                   filter: Option[(String, Seq[String])] = None): DataFrame = {
     import spark.implicits._
+    // `attr IN ()` matches NOTHING (Oracle.topkFiltered's zero-arg isin is
+    // identically false) — it must not degrade to "no filter", which is
+    // what empty filterTerms would silently mean downstream.
+    if (filter.exists(_._2.isEmpty))
+      return spark.emptyDataset[Hit].toDF()
+        .select($"query_id", $"rank", $"doc_id", $"score_micro")
     val meta = h.meta
     val qTerms = queries.flatMap(_._2).distinct
     // df + salting lookup restricted to query terms — filter pushed to

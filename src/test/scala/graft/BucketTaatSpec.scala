@@ -169,4 +169,26 @@ class BucketTaatSpec extends AnyFunSuite {
     // all four docs are genuine 0-score candidates, ordered by doc id
     assert(heap.toCands == (0 until 4).map(d => TopK.Cand(d.toLong, 0L)))
   }
+
+  test("stamp mask: beginMask invalidates the previous bucket's allows") {
+    val width = 4
+    val taat = new QueryEngine.BucketTaat(width, k = 4)
+    val t = "t"
+    val lists = Map(t -> (Array(0, 1, 2, 3), Array(4L, 3L, 2L, 1L)))
+    // bucket 0: only offsets 0 and 2 allowed
+    val h0 = new QueryEngine.QueryHeap(4)
+    taat.beginMask(); taat.allow(0); taat.allow(2)
+    taat.score(Seq(t), lists, 0L, h0, masked = true)
+    assert(h0.toCands == Seq(TopK.Cand(0, 4), TopK.Cand(2, 2)))
+    // bucket 1 reuses the SAME scorer: a fresh mask allowing only offset 1
+    // must not leak bucket 0's allows (the reused array is stamp-cleared)
+    val h1 = new QueryEngine.QueryHeap(4)
+    taat.beginMask(); taat.allow(1)
+    taat.score(Seq(t), lists, 4L, h1, masked = true)
+    assert(h1.toCands == Seq(TopK.Cand(5, 3)))
+    // and masked=false ignores the mask entirely
+    val h2 = new QueryEngine.QueryHeap(4)
+    taat.score(Seq(t), lists, 8L, h2)
+    assert(h2.toCands.map(_.doc_id) == Seq(8L, 9L, 10L, 11L))
+  }
 }

@@ -115,6 +115,38 @@ class FilteredTopkSpec extends AnyFunSuite {
     val none = rows(QueryEngine.runOnIndex(spark, s"$root/serve",
       filter = Some((attr, Seq("xx_nonexistent")))))
     assert(none.isEmpty)
+    // EMPTY value list: `attr IN ()` matches nothing — it must not
+    // silently degrade to the unfiltered batch
+    val empty = QueryEngine.runOnIndex(spark, s"$root/serve",
+      filter = Some((attr, Seq.empty)))
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "rank", "doc_id", "score_micro"))
+    assert(rows(empty).isEmpty)
+  }
+
+  test("rebuild without resume clears the attribute sidecar (no stale filter lists)") {
+    import spark.implicits._
+    val r = tmpDir()
+    val mk = (langs: Seq[String]) => langs.zipWithIndex
+      .map { case (l, i) => (i.toLong, s"alpha w$i", l) }
+      .toDF("doc_id", "text", "lang")
+    val cfg = IndexBuild.Config(numPartitions = 2, bucketWidth = 8,
+      headDf = 16, docPartitioned = true)
+    IndexBuild.writeIndex(spark, mk(Seq.fill(16)("old")), r, cfg)
+    Attrs.writeAttrs(spark, mk(Seq.fill(16)("old")), r, Seq("lang"))
+    assert(Attrs.hasAttrs(spark, r))
+    // rebuild the SAME dir from a different corpus: the old sidecar's
+    // lists describe docs of the old corpus and must not survive
+    val docs2 = mk(Seq.fill(16)("new"))
+    IndexBuild.writeIndex(spark, docs2, r, cfg)
+    assert(!Attrs.hasAttrs(spark, r))
+    Attrs.writeAttrs(spark, docs2, r, Seq("lang"))
+    val qs = Seq((1, Seq("alpha")))
+    val got = rows(QueryEngine.runOnIndex(spark, r, queries = qs, k = 5,
+      filter = Some(("lang", Seq("new")))))
+    assert(got == rows(Oracle.topkFiltered(spark, docs2, "lang", Seq("new"),
+      k = 5, queries = qs)))
+    assert(got.nonEmpty)
   }
 
   test("filter composes with conjunctive (AND) semantics") {
