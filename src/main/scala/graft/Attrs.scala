@@ -98,7 +98,10 @@ object Attrs {
     require(hasAttrs(spark, dir),
       s"no attribute sidecar at ${attrsDir(dir)} — write one with Attrs.writeAttrs " +
         "before querying with a filter")
-    spark.read.parquet(attrsDir(dir))
+    // explicit schema: an attr column that is all-NULL writes a fileless
+    // sidecar, and schema inference on it throws (same hazard as
+    // [[IndexBuild.segmentSchema]])
+    spark.read.schema(IndexBuild.segmentSchema).parquet(attrsDir(dir))
       .select($"part_id".cast("int").as("part_id"), $"term", $"bucket", $"n",
         $"cf", $"min_doc", $"blocks")
       .as[PostingRow]

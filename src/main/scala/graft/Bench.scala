@@ -535,7 +535,9 @@ object Bench {
       val pLoOpt = best(cpusLo)
       val pHiOpt = best(cpusHi)
       val ratio = cpusHi.toDouble / cpusLo
-      def f(d: Double) = f"$d%.4f".toDouble
+      // Locale.ROOT: the f interpolator honors the JVM default locale —
+      // a comma-decimal locale would render "0,7184" and crash toDouble
+      def f(d: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, d).toDouble
       def pointEntries(c: Int, p: Option[Point]): Seq[(String, Double)] = p.toSeq.flatMap(p => Seq(
         s"build_sec_c$c" -> f(p.buildSec),
         s"build_docs_per_sec_c$c" -> f(p.docsPerSec),
@@ -656,9 +658,14 @@ object Bench {
         if (ap.isEmpty) Seq.empty
         else {
           val tag = s"c${aLo}_$aHi"
+          // point entries only for core counts the MAIN pins didn't emit —
+          // at a 2x main ratio aHi == cpusLo and re-emitting would put
+          // duplicate keys in the artifact JSON
+          val altPoints = Seq(aLo, aHi).filterNot(c => c == cpusLo || c == cpusHi)
+            .flatMap(c => pointEntries(c, best(c)))
           axisEntries(s"build_$tag", ap, buildEff, _.docsPerSec) ++
             axisEntries(s"query_$tag", ap, queryEff, 1.0 / _.secPerQuery) ++
-            pointEntries(aLo, best(aLo)) ++ pointEntries(aHi, best(aHi)) ++
+            altPoints ++
             Seq(s"n_pairs_$tag" -> ap.size.toDouble) ++
             pairTable(ap)
         }

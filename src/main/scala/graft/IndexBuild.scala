@@ -158,7 +158,10 @@ object IndexBuild {
     // parity with the Catalyst-tokenized tf-row pipeline is spec-pinned
     // (EngineSpec "fused == tf-row"), and the DuckDB oracle is a third
     // independent check.
-    val pruned = docs.select($"doc_id", $"text")
+    // cast: toRdd reads the raw slot with getLong — unlike the Encoder
+    // boundary it replaced, it would zero-extend (corrupt) a narrower
+    // doc_id column instead of upcasting it. A no-op on LongType input.
+    val pruned = docs.select($"doc_id".cast("long").as("doc_id"), $"text")
     val partials = pruned.queryExecution.toRdd.mapPartitions { it =>
       val acc = new PartialAcc(headsBc.value, cfgV)
       val sinkU = new Tokenize.Utf8TokenSink {
@@ -178,6 +181,7 @@ object IndexBuild {
       // within the iteration (term Strings are materialized copies).
       it.foreach { row =>
         if (!row.isNullAt(1)) {
+          require(!row.isNullAt(0), "null doc_id") // getLong on null reads 0 silently
           val d = row.getLong(0)
           val u = row.getUTF8String(1)
           val dl = Tokenize.countTokensUtf8Ascii(u)
@@ -432,32 +436,17 @@ object IndexBuild {
       * garbage). Monotonicity tracking matches [[add]]. */
     def addBlock(b: Block): Unit = {
       if (n + b.n > docs.length) grow(n + b.n)
-      if (b.codec == Codec.VByteId) {
-        val r = new Codec.Reader(b.bytes)
-        var prev = 0L
-        var i = 0
-        while (i < b.n) {
-          val g = r.readVLong()
-          prev = if (i == 0) g else prev + g
-          docs(n) = prev
-          tfs(n) = r.readVLong().toInt
-          dls(n) = r.readVLong().toInt
-          if (prev < lastDoc) needSort = true else lastDoc = prev
-          n += 1
-          i += 1
-        }
-      } else {
-        // non-VByte codecs decode straight into the buffer too
-        // (decodeBlockInto), then one scan maintains the monotonicity flag
-        Codec.decodeBlockInto(b, docs, tfs, dls, n)
-        var i = 0
-        while (i < b.n) {
-          val d = docs(n + i)
-          if (d < lastDoc) needSort = true else lastDoc = d
-          i += 1
-        }
-        n += b.n
+      // decodeBlockInto owns the wire format for EVERY codec (a second
+      // hand-inlined VByte loop here would have to track any layout
+      // change); one scan then maintains the monotonicity flag
+      Codec.decodeBlockInto(b, docs, tfs, dls, n)
+      var i = 0
+      while (i < b.n) {
+        val d = docs(n + i)
+        if (d < lastDoc) needSort = true else lastDoc = d
+        i += 1
       }
+      n += b.n
     }
 
     def sortIfNeeded(): Unit = if (needSort) { qsort(0, n - 1); needSort = false }
@@ -577,6 +566,17 @@ object IndexBuild {
       .agg(sum(col("n")).as("df"), sum(col("cf")).as("cf"),
         max(col("bucket")).cast("int").as("max_bucket"))
 
+  /** stats/terms schema — explicit for the same fileless-dir reason as
+    * [[segmentSchema]] (an empty build writes an empty stats table). */
+  val termStatsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("term", StringType), StructField("df", LongType),
+      StructField("cf", LongType), StructField("max_bucket", IntegerType)))
+  }
+
+  def readTermStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(termStatsSchema).parquet(s"$dir/stats/terms")
+
   /** Head-term set for salting decisions (driver-side; Zipf-tiny). */
   def headTerms(spark: SparkSession, termStats: DataFrame, cfg: Config): Set[String] = {
     import spark.implicits._
@@ -590,7 +590,13 @@ object IndexBuild {
     * counting via last-doc marking: df counts sampled documents
     * CONTAINING the term, matching the `array_distinct` semantics of the
     * Catalyst mirror this replaced (parity spec-asserted at inv=1 against
-    * [[headTerms]] over full Catalyst-tokenized term stats). */
+    * [[headTerms]] over full Catalyst-tokenized term stats).
+    *
+    * Precondition (the index's own contract): doc_id is UNIQUE. Last-doc
+    * marking assumes a term's occurrences of one doc arrive contiguously;
+    * a corpus with duplicate doc_ids would under-count df vs the mirror —
+    * layout-only (salting choice), but such a corpus already corrupts
+    * posting lists (two entries for one doc), so it is invalid input. */
   private[graft] final class DfMap {
     private var cap = 1 << 10
     private var mask = cap - 1
@@ -687,12 +693,14 @@ object IndexBuild {
     // the full text volume through the memory controller) only to skip
     // 1−1/inv of them at the tokenizer — the when() pushes the skip into
     // codegen so non-sampled rows carry null instead of copied bytes.
+    // cast: same getLong-vs-Encoder rationale as [[partialPostingsFromDocs]]
+    val did = $"doc_id".cast("long").as("doc_id")
     val pruned =
-      if (!needHeads) docs.select($"doc_id")
+      if (!needHeads) docs.select(did)
       else if (inv > 1)
-        docs.select($"doc_id",
+        docs.select(did,
           when($"doc_id" % inv === 0, $"text").as("text"))
-      else docs.select($"doc_id", $"text")
+      else docs.select(did, $"text")
     val partials = pruned.queryExecution.toRdd.mapPartitions { it =>
       val map = new DfMap()
       var nDocs = 0L
@@ -710,6 +718,7 @@ object IndexBuild {
           map.bump(lower, start, end, hash, doc)
       }
       it.foreach { row =>
+        require(!row.isNullAt(0), "null doc_id") // getLong on null reads 0 silently
         val d = row.getLong(0)
         nDocs += 1
         if (d > maxD) maxD = d
@@ -863,7 +872,7 @@ object IndexBuild {
     // pure scaling loss at high core counts. Ordering contract kept:
     // manifest (the per-partition commit point) is awaited before it is
     // written, and meta — the open-gate — is still written after both.
-    val statsSrc = spark.read.parquet(segmentsDir(dir))
+    val statsSrc = spark.read.schema(segmentSchema).parquet(segmentsDir(dir))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -897,9 +906,12 @@ object IndexBuild {
     phase("commit") {
       writeMetaFile(spark, s"$dir/stats/meta", meta)
       val wallSec = (System.nanoTime() - t0) / 1e9
+      // Locale.ROOT: the f interpolator honors the JVM default locale —
+      // comma-decimal locales would write unparseable JSON
       appendMetricsFile(spark, metricsDir(dir),
         s"""{"n_docs":$nDocs,"n_postings_tokens":$nTokens,""" +
-        f""""wall_sec":$wallSec%.3f,"docs_per_sec":${nDocs / wallSec}%.1f}""")
+        """"wall_sec":%.3f,"docs_per_sec":%.1f}"""
+          .formatLocal(java.util.Locale.ROOT, wallSec, nDocs / wallSec))
     }
     meta
   }
@@ -964,9 +976,16 @@ object IndexBuild {
     }
   }
 
+  /** Segments-dir schema, supplied EXPLICITLY to every segments read: a
+    * build whose corpus tokenizes to zero postings writes a fileless dir
+    * (just _SUCCESS), and parquet schema INFERENCE on it throws — the
+    * empty index must still commit, open and answer (with nothing). */
+  val segmentSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[PostingRow].schema
+
   def readSegments(spark: SparkSession, dir: String): Dataset[PostingRow] = {
     import spark.implicits._
-    spark.read.parquet(segmentsDir(dir))
+    spark.read.schema(segmentSchema).parquet(segmentsDir(dir))
       .select($"part_id".cast("int").as("part_id"), $"term", $"bucket", $"n",
         $"cf", $"min_doc", $"blocks")
       .as[PostingRow]
@@ -1006,7 +1025,7 @@ object IndexBuild {
       .parquet(segmentsDir(outDir))
     // stats/manifest from the just-written segments (block-pruned parquet
     // read), not a persisted copy — same reasoning as writeIndex
-    val written = spark.read.parquet(segmentsDir(outDir))
+    val written = spark.read.schema(segmentSchema).parquet(segmentsDir(outDir))
     termStatsFromPostings(written)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats/terms")
     written.groupBy($"part_id")

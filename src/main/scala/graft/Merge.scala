@@ -128,7 +128,8 @@ object Merge {
     // use the SAME aggregation as writeIndex: df/cf equal the full-outer-
     // join stats merge by construction, and max_bucket describes the
     // output layout for query routing.
-    val written = spark.read.parquet(IndexBuild.segmentsDir(outDir))
+    val written = spark.read.schema(IndexBuild.segmentSchema)
+      .parquet(IndexBuild.segmentsDir(outDir))
     written.groupBy($"part_id")
       .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
       .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))
@@ -167,7 +168,7 @@ object Merge {
     // merged stats (Catalyst full-outer join) drive the RE-SALT decision:
     // a term that was rare in every input but is a head term of the union
     // gets re-bucketed under its exact merged df
-    val ts = mergeTermStats(dirs.map(d => spark.read.parquet(s"$d/stats/terms")))
+    val ts = mergeTermStats(dirs.map(IndexBuild.readTermStats(spark, _)))
     val tf = dirs.map(decodedPostings(spark, _)).reduce(_ unionByName _)
     val postings = IndexBuild.postingsPipeline(spark, tf,
       IndexBuild.headTerms(spark, ts, cfg), cfg)
@@ -177,7 +178,8 @@ object Merge {
     // segments (block-pruned) rather than a persisted pipeline copy.
     postings.write.mode(SaveMode.Overwrite).partitionBy("part_id")
       .parquet(IndexBuild.segmentsDir(outDir))
-    val written = spark.read.parquet(IndexBuild.segmentsDir(outDir))
+    val written = spark.read.schema(IndexBuild.segmentSchema)
+      .parquet(IndexBuild.segmentsDir(outDir))
     written.groupBy($"part_id")
       .agg(count(lit(1)).as("n_lists"), sum($"n").as("n_postings"))
       .write.mode(SaveMode.Overwrite).parquet(IndexBuild.manifestDir(outDir))

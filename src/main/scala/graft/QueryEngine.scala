@@ -852,7 +852,7 @@ object QueryEngine {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
           hasAttrs)
       } else (None, false)
-    IndexHandle(dir, meta, segments, spark.read.parquet(s"$dir/stats/terms"),
+    IndexHandle(dir, meta, segments, IndexBuild.readTermStats(spark, dir),
       served._1, attrsCached = served._2)
   }
 

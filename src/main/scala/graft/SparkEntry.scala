@@ -269,7 +269,7 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       val serving = s"$workDir/serving"
       streaming.StreamIngest.compact(s, workDir, serving)
-      s.read.parquet(s"$serving/stats/terms")
+      IndexBuild.readTermStats(s, serving)
         .select(col("term"), col("df"), col("cf"))
         .orderBy("term")
     })

@@ -244,4 +244,34 @@ class DiskIndexSpec extends AnyFunSuite {
     // and the served batch is identical
     assert(queryRows(derivedDir) == queryRows(directDir))
   }
+
+  test("corpus that tokenizes to ZERO postings still commits, opens and answers empty") {
+    import spark.implicits._
+    // non-empty corpus, nothing tokenizable: null / empty / punctuation-only
+    // text — the segments write emits a fileless dir, which must not wedge
+    // the commit tail (schema inference would throw) or the open path.
+    // StreamIngest replays a crashed batch forever, so this shape MUST
+    // commit (its batches only guard row-emptiness, not token-emptiness).
+    val docs = Seq((0L, null: String), (1L, ""), (2L, "!!! ..."))
+      .toDF("doc_id", "text")
+    val dir = tmpDir()
+    val meta = IndexBuild.writeIndex(spark, docs, dir, SparkEntry.testConfig)
+    assert(meta.n_docs == 3 && meta.n_tokens == 0)
+    val h = QueryEngine.openIndex(spark, dir, cacheServing = false)
+    assert(IndexBuild.readSegments(spark, dir).count() == 0)
+    assert(queryRows(dir).isEmpty)
+  }
+
+  test("an IntegerType doc_id column builds the same index as LongType") {
+    import org.apache.spark.sql.functions.col
+    // the fused pass reads the doc_id slot raw (toRdd + getLong) — a
+    // narrower column must be upcast in the projection, not zero-extended
+    val docs = Stats.readDocuments(spark, sfDir)
+    val intDocs = docs.withColumn("doc_id", col("doc_id").cast("int"))
+    val (longDir, intDir) = (tmpDir(), tmpDir())
+    IndexBuild.writeIndex(spark, docs, longDir, SparkEntry.testConfig)
+    IndexBuild.writeIndex(spark, intDocs, intDir, SparkEntry.testConfig)
+    assert(IndexBuild.readMeta(spark, intDir) == IndexBuild.readMeta(spark, longDir))
+    assert(queryRows(intDir) == queryRows(longDir))
+  }
 }
