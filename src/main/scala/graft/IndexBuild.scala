@@ -832,7 +832,10 @@ object IndexBuild {
     val heads = scan.heads
 
     val done: Set[Int] =
-      if (resume && exists(spark, manifestDir(dir)))
+      // _SUCCESS: a first manifest append killed mid-write leaves the dir
+      // present but fileless — bare existence would wedge every resume on
+      // schema inference instead of rebuilding from zero
+      if (resume && exists(spark, s"${manifestDir(dir)}/_SUCCESS"))
         spark.read.parquet(manifestDir(dir)).select($"part_id").as[Int].collect().toSet
       else Set.empty
 

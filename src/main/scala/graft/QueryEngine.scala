@@ -73,7 +73,13 @@ object QueryEngine {
       // reach any heap only if it appears in at least one of these lists
       // (OR across the values of an IN-predicate). BM25 stats stay
       // corpus-global — a filter restricts candidates, not scoring.
-      filterTerms: Seq[String] = Nil)
+      filterTerms: Seq[String] = Nil,
+      // df per QUERY term (what plan() was given): the head-heavy guard
+      // sizes each query's candidate posting mass from this driver-side
+      // instead of launching a per-batch aggregation job over `postings`
+      // (which re-executes an unpersisted pipeline). Empty in hand-built
+      // plans — [[run]] then falls back to the sizing job.
+      termDf: Map[String, Long] = Map.empty)
 
   /** Build the batch plan from per-term stats (df) + corpus scalars.
     * `termStats` may be the full stats table; only query terms are used.
@@ -94,7 +100,8 @@ object QueryEngine {
       .flatMap { case (qid, ts) => ts.filter(termDf.contains).map(t => (t, qid)) }
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
     val qts = live.map { case (qid, ts) => qid -> ts.filter(termDf.contains) }.toMap
-    Plan(k, cs.avgdl, idf, t2q, qts, conjunctive = conjunctive)
+    Plan(k, cs.avgdl, idf, t2q, qts, conjunctive = conjunctive,
+      termDf = terms.map(t => t -> termDf(t)).toMap)
   }
 
   /** Carried per-query top-k under the frozen (score DESC, doc_id ASC)
@@ -452,8 +459,17 @@ object QueryEngine {
         plan.copy(bucketWidth = width), effort, preFiltered = true)
     }
     if (plan.conjunctive || plan.filterTerms.nonEmpty) return rerouted()
-    val termN = filtered.groupBy($"term").agg(sum($"n").as("tot"))
-      .as[(String, Long)].collect().toMap
+    // Guard sizing: a term's total posting count IS its df, which the plan
+    // already carries from the stats table — driver-side arithmetic, no
+    // extra job (the aggregation re-evaluated the possibly-unpersisted
+    // postings pipeline once per batch, doubling the in-memory contract
+    // queries). When `postings` is a pruned SUBSET, df is a safe upper
+    // bound: the guard may reroute early, never under-size. Hand-built
+    // plans without termDf keep the sizing job.
+    val termN: Map[String, Long] =
+      if (plan.termDf.nonEmpty) plan.termDf
+      else filtered.groupBy($"term").agg(sum($"n").as("tot"))
+        .as[(String, Long)].collect().toMap
     val worstQuery = plan.queryTermSets.values
       .map(_.iterator.map(termN.getOrElse(_, 0L)).sum)
       .maxOption.getOrElse(0L)

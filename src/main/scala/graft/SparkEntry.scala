@@ -27,11 +27,34 @@ object SparkEntry {
     * two datasets sharing a basename, would clobber each other's
     * index/checkpoint state mid-query). Rooted under target/, not /tmp:
     * the sandbox reaps /tmp mid-job, and the returned DataFrames read
-    * these dirs lazily. */
-  private def scratchDir(prefix: String): String = {
+    * these dirs lazily — so cleanup is a JVM-EXIT hook (after all lazy
+    * reads), not eager deletion, plus a first-use sweep of dirs older
+    * than a day (a crashed JVM's hook never ran; live concurrent runs
+    * are hours old at most and untouched). Without either, every
+    * contract run leaked a full index copy per index-backed query. */
+  private lazy val scratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Paths.get("/root/repo/target/scratch")
     java.nio.file.Files.createDirectories(root)
-    java.nio.file.Files.createTempDirectory(root, prefix).toString
+    val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
+    val stale = root.toFile.listFiles()
+    if (stale != null)
+      stale.filter(f => f.isDirectory && f.lastModified() < dayAgo)
+        .foreach(deleteRecursively)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.forEach(d => deleteRecursively(d.toFile))))
+    root
+  }
+  private val created =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+    created.add(d)
+    d.toString
   }
 
   /** Flagship query on /root/testdata/sf0.001: full indexed BM25 top-10

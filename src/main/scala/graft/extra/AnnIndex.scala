@@ -36,6 +36,14 @@ object AnnIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** A parquet artifact counts as COMMITTED only once the committer's
+    * _SUCCESS marker exists — a kill mid-write leaves the directory
+    * present but fileless (only _temporary), and a resume that trusted
+    * bare existence would crash on schema inference at every retry
+    * instead of redoing the step. */
+  private[extra] def committed(spark: SparkSession, path: String): Boolean =
+    exists(spark, s"$path/_SUCCESS")
+
   private[extra] def deletePaths(spark: SparkSession, paths: Seq[String]): Unit =
     paths.foreach { s =>
       val p = new org.apache.hadoop.fs.Path(s)
@@ -66,10 +74,10 @@ object AnnIndex {
     if (!resume)
       deletePaths(spark, Seq(s"$dir/meta", s"$dir/cells", s"$dir/centroids",
         manifestDir(dir)))
-    else if (exists(spark, s"$dir/meta"))
+    else if (committed(spark, s"$dir/meta"))
       return readMeta(spark, dir) // meta is the commit point: already complete
     val centroids =
-      if (resume && exists(spark, s"$dir/centroids"))
+      if (resume && committed(spark, s"$dir/centroids"))
         loadCentroids(spark, dir)
       else {
         val c = Ann.kmeansFit(trainSample(emb, trainSampleInv), kc, iters)
@@ -81,7 +89,7 @@ object AnnIndex {
         c
       }
     val done: Set[Int] =
-      if (resume && exists(spark, manifestDir(dir)))
+      if (resume && committed(spark, manifestDir(dir)))
         spark.read.parquet(manifestDir(dir)).select($"cell").as[Int].collect().toSet
       else Set.empty
     val assignUdf = udf((v: Seq[Float]) => Ann.argminL2(v, centroids))

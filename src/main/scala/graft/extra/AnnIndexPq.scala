@@ -67,11 +67,11 @@ object AnnIndexPq {
     if (!resume)
       AnnIndex.deletePaths(spark, Seq(s"$dir/meta", s"$dir/codes",
         s"$dir/centroids", s"$dir/codebooks", manifestDir(dir)))
-    else if (AnnIndex.exists(spark, s"$dir/meta"))
+    else if (AnnIndex.committed(spark, s"$dir/meta"))
       return readMeta(spark, dir) // meta is the commit point: already complete
     val (centroids, codebooks) =
-      if (resume && AnnIndex.exists(spark, s"$dir/centroids") &&
-          AnnIndex.exists(spark, s"$dir/codebooks"))
+      if (resume && AnnIndex.committed(spark, s"$dir/centroids") &&
+          AnnIndex.committed(spark, s"$dir/codebooks"))
         (AnnIndex.loadCentroids(spark, dir), loadCodebooks(spark, dir))
       else {
         val train = AnnIndex.trainSample(emb, trainSampleInv)
@@ -87,7 +87,7 @@ object AnnIndexPq {
         (c, cb)
       }
     val done: Set[Int] =
-      if (resume && AnnIndex.exists(spark, manifestDir(dir)))
+      if (resume && AnnIndex.committed(spark, manifestDir(dir)))
         spark.read.parquet(manifestDir(dir)).select($"cell").as[Int].collect().toSet
       else Set.empty
     val ctrBc = spark.sparkContext.broadcast(centroids)

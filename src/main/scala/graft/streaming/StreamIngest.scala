@@ -108,22 +108,50 @@ object StreamIngest {
   def segDir(workDir: String, lo: Long, hi: Long): String =
     f"$workDir/segs/seg=$lo%05d-$hi%05d"
 
-  /** Committed merged segments under workDir/segs, with any segment fully
-    * subsumed by a larger one dropped (a merge killed between its
-    * meta-last commit and input cleanup leaves both on disk briefly). */
-  private def committedSegs(spark: SparkSession, workDir: String): Seq[LogUnit] = {
+  /** ALL committed merged segments under workDir/segs, including ones
+    * subsumed by a larger segment (a merge killed between its meta-last
+    * commit and input cleanup leaves both on disk). */
+  private def allSegs(spark: SparkSession, workDir: String): Seq[LogUnit] = {
     val base = new org.apache.hadoop.fs.Path(s"$workDir/segs")
     val f = fs(spark)
-    val all =
-      if (!f.exists(base)) Seq.empty[LogUnit]
-      else f.listStatus(base).toSeq.map(_.getPath.getName)
-        .collect { case s if s.startsWith("seg=") =>
-          val Array(lo, hi) = s.stripPrefix("seg=").split("-").map(_.toLong)
-          LogUnit(lo, hi, s"$workDir/segs/$s")
-        }
-        .filter(u => committed(spark, u.dir))
-    all.filterNot(u => all.exists(v =>
-      (v.lo < u.lo || v.hi > u.hi) && v.lo <= u.lo && u.hi <= v.hi))
+    if (!f.exists(base)) Seq.empty[LogUnit]
+    else f.listStatus(base).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("seg=") =>
+        val Array(lo, hi) = s.stripPrefix("seg=").split("-").map(_.toLong)
+        LogUnit(lo, hi, s"$workDir/segs/$s")
+      }
+      .filter(u => committed(spark, u.dir))
+  }
+
+  private def subsumed(all: Seq[LogUnit])(u: LogUnit): Boolean =
+    all.exists(v => (v.lo < u.lo || v.hi > u.hi) && v.lo <= u.lo && u.hi <= v.hi)
+
+  /** Committed merged segments with any segment fully subsumed by a
+    * larger one dropped. */
+  private def committedSegs(spark: SparkSession, workDir: String): Seq[LogUnit] = {
+    val all = allSegs(spark, workDir)
+    all.filterNot(subsumed(all))
+  }
+
+  /** Recovery sweep for the kill window between a merge's meta-last
+    * commit and its input cleanup: the subsumed inputs are invisible to
+    * [[currentUnits]] (so the LOG is already correct) but their full
+    * posting contents would otherwise sit on disk FOREVER — no later
+    * tierUp ever holds them in a merge group again. Deleting subsumed
+    * segment dirs and stripping covered batch dirs here makes the
+    * post-merge cleanup idempotent across restarts. */
+  private def reclaim(spark: SparkSession, workDir: String): Unit = {
+    val f = fs(spark)
+    val all = allSegs(spark, workDir)
+    val live = all.filterNot(subsumed(all))
+    all.filter(subsumed(all)).foreach { u =>
+      f.delete(new org.apache.hadoop.fs.Path(u.dir), true); ()
+    }
+    committedBatchIds(spark, workDir)
+      .filter(id => live.exists(u => u.lo <= id && id <= u.hi))
+      .map(id => batchDir(workDir, id))
+      .filter(d => f.exists(new org.apache.hadoop.fs.Path(IndexBuild.segmentsDir(d))))
+      .foreach(d => stripToMeta(spark, d))
   }
 
   /** The current log: merged segments + batches not covered by any
@@ -151,6 +179,7 @@ object StreamIngest {
   def tierUp(spark: SparkSession, workDir: String,
              tierFactor: Int = 2): Seq[(Long, Long, Int)] = {
     require(tierFactor >= 2, s"tierFactor must be >= 2, got $tierFactor")
+    reclaim(spark, workDir) // idempotent crash recovery (see its doc)
     val ids = committedBatchIds(spark, workDir)
     def weight(u: LogUnit): Int = ids.count(id => u.lo <= id && id <= u.hi)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]

@@ -165,4 +165,27 @@ class AnnIndexPqSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long)].collect().toSeq
     assert(res(partial) == res(full))
   }
+
+  test("resume after a kill MID-model-write retrains instead of wedging") {
+    import spark.implicits._
+    // a kill while the centroids/codebooks parquet is in flight leaves
+    // the dir PRESENT but without the committer's _SUCCESS marker — a
+    // resume that trusted bare existence would crash on schema inference
+    // at every retry, so the advertised recovery could never complete
+    val fullIvf = tmpDir(); val wedgedIvf = tmpDir()
+    AnnIndex.write(spark, emb, fullIvf)
+    new java.io.File(s"$wedgedIvf/centroids").mkdirs()
+    AnnIndex.write(spark, emb, wedgedIvf, resume = true) // must retrain
+    def cellsOf(d: String) = AnnIndex.readCells(spark, d)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(cellsOf(wedgedIvf) == cellsOf(fullIvf)) // deterministic fit
+    // same window for the PQ index's two model artifacts
+    val fullPq = tmpDir(); val wedgedPq = tmpDir()
+    AnnIndexPq.write(spark, emb, fullPq)
+    new java.io.File(s"$wedgedPq/codebooks").mkdirs()
+    AnnIndexPq.write(spark, emb, wedgedPq, resume = true)
+    def codesOf(d: String) = AnnIndexPq.readCodes(spark, d)
+      .as[(Long, Seq[Int], Int)].collect().toSeq.sortBy(_._1)
+    assert(codesOf(wedgedPq) == codesOf(fullPq))
+  }
 }

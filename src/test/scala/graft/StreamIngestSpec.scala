@@ -137,4 +137,52 @@ class StreamIngestSpec extends AnyFunSuite {
       .as[(Int, Int, Long, Long)].collect().toSeq
     assert(res(serving) == res(oneShot))
   }
+
+  test("tierUp reclaims merge inputs orphaned by a kill after the segment commit") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, sfDir)
+    val pages = Pages.fromDocuments(docs)
+      .select($"url", $"html").as[(String, Array[Byte])].collect().toSeq
+    val chunks = pages.grouped((pages.size + 3) / 4).toSeq
+    assert(chunks.size == 4)
+    val workDir = tmpDir()
+    val cfg = SparkEntry.testConfig
+    chunks.zipWithIndex.foreach { case (ch, i) =>
+      StreamIngest.ingestBatch(spark, ch.toDF("url", "html"), workDir, cfg, i.toLong)
+    }
+    // simulate three merges each killed between the merged segment's
+    // meta-last commit and its input cleanup: segs committed, inputs
+    // (batch dirs, then the two intermediate segs) left at full weight
+    Merge.concatMergeIndexes(spark,
+      Seq(StreamIngest.batchDir(workDir, 0), StreamIngest.batchDir(workDir, 1)),
+      StreamIngest.segDir(workDir, 0, 1))
+    Merge.concatMergeIndexes(spark,
+      Seq(StreamIngest.batchDir(workDir, 2), StreamIngest.batchDir(workDir, 3)),
+      StreamIngest.segDir(workDir, 2, 3))
+    Merge.concatMergeIndexes(spark,
+      Seq(StreamIngest.segDir(workDir, 0, 1), StreamIngest.segDir(workDir, 2, 3)),
+      StreamIngest.segDir(workDir, 0, 3))
+    val ex = (p: String) => new java.io.File(p).exists()
+    assert(ex(StreamIngest.segDir(workDir, 0, 1))) // orphan state on disk
+    assert(ex(IndexBuild.segmentsDir(StreamIngest.batchDir(workDir, 0))))
+    // the log itself already reads correctly (subsumption filter) ...
+    assert(StreamIngest.currentUnits(spark, workDir)
+      .map(u => (u.lo, u.hi)) == Seq((0L, 3L)))
+    // ... and tierUp's entry sweep reclaims the invisible disk mass:
+    // subsumed seg dirs deleted, covered batch dirs stripped to meta
+    StreamIngest.tierUp(spark, workDir)
+    assert(!ex(StreamIngest.segDir(workDir, 0, 1)))
+    assert(!ex(StreamIngest.segDir(workDir, 2, 3)))
+    (0 to 3).foreach { i =>
+      assert(!ex(IndexBuild.segmentsDir(StreamIngest.batchDir(workDir, i.toLong))))
+    }
+    // replay/offset tombstones survive, and the log is unchanged
+    assert(StreamIngest.committedBatchIds(spark, workDir) == Seq(0L, 1L, 2L, 3L))
+    assert(StreamIngest.currentUnits(spark, workDir)
+      .map(u => (u.lo, u.hi)) == Seq((0L, 3L)))
+    // the reclaimed log still serves: compaction == one-shot content
+    val serving = tmpDir()
+    StreamIngest.compact(spark, workDir, serving)
+    assert(QueryEngine.runOnIndex(spark, serving).count() > 0)
+  }
 }
