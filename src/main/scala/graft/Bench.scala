@@ -515,7 +515,7 @@ object Bench {
 
     // ---- JSON assembly (callable mid-run: the file mirror is refreshed
     // after every pair so a killed run still leaves its partial artifact) —
-    def currentJson(): String = {
+    def currentJson(compact: Boolean): String = {
       // Best per point across reps, restricted to the LARGEST corpus that
       // cpu measured: per-query latency grows with corpus size, so after
       // an adaptive shrink minBy(secPerQuery) would systematically favor
@@ -636,12 +636,13 @@ object Bench {
           s"pair_${rep}_query_sec_lo" -> f(lo.querySec),
           s"pair_${rep}_query_sec_hi" -> f(hi.querySec))
         }
-      val pairedEntries: Seq[(String, Double)] =
+      val pairedSummary: Seq[(String, Double)] =
         if (pairedEff.isEmpty) Seq.empty
         else axisEntries("build", pairedEff, buildEff, _.docsPerSec) ++
           axisEntries("query", pairedEff, queryEff, 1.0 / _.secPerQuery) ++
-          Seq("n_pairs" -> pairedEff.size.toDouble) ++
-          pairTable(pairedEff)
+          Seq("n_pairs" -> pairedEff.size.toDouble)
+      val pairedDetail: Seq[(String, Double)] =
+        if (pairedEff.isEmpty) Seq.empty else pairTable(pairedEff)
       // Host-deliverability ceiling from the same-run spin probe: if hi
       // concurrent spin threads ran X% slower than lo, no job can show
       // better than lo/hi efficiency in this window.
@@ -652,42 +653,71 @@ object Bench {
       // Supplementary half-pin pairs (see altPairOpt above): same-window
       // pairs at half the cores, emitted with core-count-tagged keys so
       // the consumer can compare the bandwidth-limited top pin with the
-      // under-the-ceiling pin in ONE artifact.
-      val altEntries: Seq[(String, Double)] = altPairOpt.toSeq.flatMap { case (aLo, aHi) =>
-        val ap = pairedFor(aLo, aHi)
-        if (ap.isEmpty) Seq.empty
-        else {
-          val tag = s"c${aLo}_$aHi"
-          // point entries only for core counts the MAIN pins didn't emit —
-          // at a 2x main ratio aHi == cpusLo and re-emitting would put
-          // duplicate keys in the artifact JSON
-          val altPoints = Seq(aLo, aHi).filterNot(c => c == cpusLo || c == cpusHi)
-            .flatMap(c => pointEntries(c, best(c)))
-          axisEntries(s"build_$tag", ap, buildEff, _.docsPerSec) ++
-            axisEntries(s"query_$tag", ap, queryEff, 1.0 / _.secPerQuery) ++
-            altPoints ++
-            Seq(s"n_pairs_$tag" -> ap.size.toDouble) ++
-            pairTable(ap)
-        }
-      }
+      // under-the-ceiling pin in ONE artifact. Split summary/detail so the
+      // stdout headline can carry the summary and leave the per-pair table
+      // to the file mirror.
+      val (altSummary, altDetail): (Seq[(String, Double)], Seq[(String, Double)]) =
+        altPairOpt.map { case (aLo, aHi) =>
+          val ap = pairedFor(aLo, aHi)
+          if (ap.isEmpty) (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
+          else {
+            val tag = s"c${aLo}_$aHi"
+            // point entries only for core counts the MAIN pins didn't emit —
+            // at a 2x main ratio aHi == cpusLo and re-emitting would put
+            // duplicate keys in the artifact JSON
+            val altPoints = Seq(aLo, aHi).filterNot(c => c == cpusLo || c == cpusHi)
+              .flatMap(c => pointEntries(c, best(c)))
+            (axisEntries(s"build_$tag", ap, buildEff, _.docsPerSec) ++
+               axisEntries(s"query_$tag", ap, queryEff, 1.0 / _.secPerQuery) ++
+               Seq(s"n_pairs_$tag" -> ap.size.toDouble),
+             altPoints ++ pairTable(ap))
+          }
+        }.getOrElse((Seq.empty, Seq.empty))
       val allNDocs = ok.map(_._2.nDocs)
-      val qs = (pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++ effEntries ++ pairedEntries ++ ceilingEntries ++ altEntries ++ Seq(
+      val tailEntries: Seq[(String, Double)] = Seq(
         "n_docs_indexed" -> (if (allNDocs.isEmpty) 0.0 else allNDocs.max.toDouble),
         "scale_shrunk" -> (if (allNDocs.nonEmpty && allNDocs.min != allNDocs.max) 1.0 else 0.0),
         "nq" -> (QuerySet.queries.size * nReps).toDouble,
         "child_failures" -> failures.size.toDouble,
-        "child_successes" -> ok.size.toDouble
-      )).++(probeT.toSeq.sortBy(_._1).map { case (n, s) =>
+        "child_successes" -> ok.size.toDouble)
+      val probeEntries: Seq[(String, Double)] = probeT.toSeq.sortBy(_._1).map { case (n, s) =>
         s"cpu_probe_sec_$n" -> f(s) // host deliverability evidence for the points chosen
-      }).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      s"""{"metric":"index-build docs/sec + BM25 top-10 latency, local[$cpusLo] vs local[$cpusHi] pinned JVMs","value":$elapsed,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      }
+      // Priority tiers. core = everything the driver gate grades (points,
+      // paired best/median/trimmed + exclusion counts per axis, probe
+      // ceiling, counters). extended = cross-window eff + half-pin summary.
+      // detail = per-pair tables + probe points, file-mirror only.
+      val core = pointEntries(cpusLo, pLoOpt) ++ pointEntries(cpusHi, pHiOpt) ++
+        pairedSummary ++ ceilingEntries ++ tailEntries
+      val extended = effEntries ++ altSummary
+      val detail = pairedDetail ++ altDetail ++ probeEntries
+      def render(entries: Seq[(String, Double)], withDetailPtr: Boolean): String = {
+        val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        val ptr = if (withDetailPtr) """"detail":"BENCH_LAST.json",""" else ""
+        s"""{"metric":"index-build docs/sec + BM25 top-10 latency, local[$cpusLo] vs local[$cpusHi] pinned JVMs","value":$elapsed,"unit":"sec",$ptr"queries":$qs,"sf":"$sfDir"}"""
+      }
+      if (!compact) render(core ++ extended ++ detail, withDetailPtr = false)
+      else {
+        // The driver captures only the LAST 2000 chars of child stdout and
+        // sbt appends a "[success] Total time ..." line after ours
+        // (round-4 postmortem: the single full line grew to 3,623 chars and
+        // the driver recorded parsed:null). The stdout headline keeps the
+        // graded summary stats under a hard budget and points at
+        // BENCH_LAST.json for the full per-pair table. Greedy prefix: core
+        // always, extended entries while the rendered line fits.
+        val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET_CHARS", "1600").toInt
+        var n = extended.size
+        while (n > 0 && render(core ++ extended.take(n), withDetailPtr = true).length > budget)
+          n -= 1
+        render(core ++ extended.take(n), withDetailPtr = true)
+      }
     }
     // belt-and-braces vs the round-1/2 artifact failures (sbt's logger
     // prefixing stdout): the same line also lands in a repo file
     def writeJsonFile(): Unit =
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"),
-        (currentJson() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (currentJson(compact = false) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
 
     // ADAPTIVE alternation (round-2 postmortem: a contended window made
@@ -826,8 +856,9 @@ object Bench {
       }
     }
     failures.foreach(m => System.err.println(s"[bench] child failure detail: $m"))
-    val jsonLine = currentJson()
     writeJsonFile()
-    println(jsonLine)
+    // LAST stdout line = the driver-parsed artifact; must fit (with sbt's
+    // trailing "[success]" line) inside the driver's 2,000-char tail capture
+    println(currentJson(compact = true))
   }
 }
