@@ -431,7 +431,8 @@ object Bench {
           val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
         }
         val buildSec = timed {
-          Positional.write(Positional.build(spark, docs, cfg.bucketWidth), posDir)
+          Positional.write(Positional.build(spark, docs, cfg.bucketWidth), posDir,
+            cfg.bucketWidth, cfg.numPartitions)
         }
         val cs = Stats.corpus(docs)
         val pos = Positional.read(spark, posDir)

@@ -797,12 +797,13 @@ object IndexBuild {
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if (!resume)
-      // Attrs sidecar too: it was bucketed with the OLD build's corpus and
+      // Sidecars too: they were bucketed with the OLD build's corpus and
       // geometry — left behind, openIndex would fold stale filter lists
       // into the new index (wrong filtered candidates, or out-of-range
-      // mask offsets if bucket_width changed).
+      // mask offsets if bucket_width changed), and a stale positions
+      // sidecar would answer phrase queries about the old corpus.
       Seq(s"$dir/stats/meta", segmentsDir(dir), manifestDir(dir), s"$dir/stats",
-          Attrs.attrsDir(dir))
+          Attrs.attrsDir(dir), Positional.positionsDir(dir))
         .foreach { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)

@@ -76,6 +76,27 @@ object Oracle {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Range-filtered exact top-k: candidacy restricted to docs whose
+    * NUMERIC `attr` lies in [lo, hi] — ground truth for the engine's
+    * [[Attrs]] range-predicate path. The cast matches the engine's
+    * parse-the-stored-string semantics (non-numeric ⇒ excluded). */
+  def topkFilteredRange(spark: SparkSession, docs: DataFrame, attr: String,
+                        lo: Double, hi: Double, k: Int = QuerySet.K,
+                        queries: Seq[(Int, Seq[String])] = QuerySet.queryTerms): DataFrame = {
+    import spark.implicits._
+    val allowed = docs
+      .where(expr(s"TRY_CAST(CAST($attr AS STRING) AS DOUBLE)")
+        .between(lit(lo), lit(hi)))
+      .select(col("doc_id"))
+    val w = Window.partitionBy($"query_id").orderBy($"score_micro".desc, $"doc_id".asc)
+    scores(spark, docs, queries)
+      .join(allowed, Seq("doc_id"), "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Same result via the bounded-heap [[TopK.Agg]] aggregator (the
     * treeReduce-style scale path, SURVEY.md §2.6 T2). */
   def topkViaHeap(spark: SparkSession, docs: DataFrame, k: Int = QuerySet.K): DataFrame = {

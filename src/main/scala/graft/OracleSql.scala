@@ -113,6 +113,38 @@ object OracleSql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Range-filtered BM25 top-k mirror: candidates restricted to docs with
+    * `attr BETWEEN lo AND hi` (numeric); df/avgdl stay corpus-global, the
+    * same contract as [[topkFilteredSql]] — the engine side compiles the
+    * range to the attr's in-range virtual posting lists ([[Attrs]]). */
+  def topkFilteredRangeSql(attr: String, lo: Double, hi: Double,
+                           k: Int = QuerySet.K): String = {
+    // Locale.ROOT: a comma-decimal JVM locale would render 120,0
+    val loS = "%s".formatLocal(java.util.Locale.ROOT, lo)
+    val hiS = "%s".formatLocal(java.util.Locale.ROOT, hi)
+    s"""WITH $corpusCtes, $queriesCte,
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id, $contribExpr AS c
+       |  FROM qterms q
+       |  JOIN tf ON q.term = tf.term
+       |  JOIN dfs ON q.term = dfs.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN documents d ON tf.doc_id = d.doc_id
+       |  WHERE CAST(d.$attr AS DOUBLE) BETWEEN $loS AND $hiS
+       |), scores AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |  FROM contrib GROUP BY query_id, doc_id
+       |), ranked AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank,
+       |         doc_id, score_micro
+       |  FROM scores
+       |)
+       |SELECT query_id, rank, doc_id, score_micro FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Conjunctive (AND) BM25 top-k: docs matched by EVERY distinct query
     * term, scored by the same BM25 sum. `matched` counts the (query, doc)
     * contrib rows — one per query term present in the doc — and must equal

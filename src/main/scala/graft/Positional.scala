@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,9 +94,17 @@ object Positional {
     * each key's partials by docId (entries are per-doc self-contained,
     * so a merge is decode + stable resort + re-encode of ≤ width docs). */
   def build(spark: SparkSession, docs: DataFrame, width: Long,
-            flushEntries: Int = 2000000): Dataset[PosRow] = {
+            flushEntries: Int = 2000000): Dataset[PosRow] =
+    mergeByKey(buildPartials(spark, docs, width, flushEntries))
+
+  /** Map-side partial stage of [[build]], exposed so the resumable disk
+    * build ([[writeBuild]]) can drop already-committed part_ids BETWEEN
+    * the partials and the shuffle — the same seam
+    * [[IndexBuild.writeIndex]] resumes at. */
+  def buildPartials(spark: SparkSession, docs: DataFrame, width: Long,
+                    flushEntries: Int = 2000000): Dataset[PosRow] = {
     import spark.implicits._
-    val partials: Dataset[PosRow] = docs
+    docs
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -142,6 +150,14 @@ object Positional {
           override def next(): PosRow = { refill(); emitted.next() }
         }
       }
+  }
+
+  /** Merge per-(term, bucket) partial [[PosRow]]s into one row per key
+    * (entries are per-doc self-contained: decode + resort by docId +
+    * re-encode). Also the INTERLEAVED-merge kernel for the sidecar — the
+    * analog of the index merge's decoded-posting rebuild. */
+  def mergeByKey(partials: Dataset[PosRow]): Dataset[PosRow] = {
+    import partials.sparkSession.implicits._
     partials
       .groupByKey(r => (r.term, r.bucket))
       .mapGroups { (key: (String, Int), rows: Iterator[PosRow]) =>
@@ -153,17 +169,167 @@ object Positional {
       }
   }
 
-  /** Persist / reopen. The local sort by term before the write is what
-    * actually makes the docstring's promise true: each parquet file's row
-    * groups then carry tight term min/max stats, so a phrase query's
-    * `term isin` prunes row groups instead of scanning everything (the
-    * hash-shuffled mapGroups output alone has vocabulary-wide ranges). */
-  def write(pos: Dataset[PosRow], dir: String): Unit =
-    pos.sortWithinPartitions("term", "bucket")
-      .write.mode("overwrite").parquet(dir)
+  // ---- on-disk lifecycle (mirrors the index: segments → manifest →
+  // meta-LAST commit; round-4 VERDICT #3 — the sidecar was a bare parquet
+  // write with no commit marker, no resume, no merge) --------------------
+
+  /** Canonical sidecar location under an index dir (what the merge and
+    * the streaming tiers carry). */
+  def positionsDir(indexDir: String): String = s"$indexDir/positions"
+
+  def segmentsDir(posDir: String): String = s"$posDir/segments"
+  def manifestDir(posDir: String): String = s"$posDir/manifest"
+  private def metaPath(posDir: String): String = s"$posDir/meta"
+
+  /** On-disk format version (see [[Attrs.FormatVersion]] for the policy). */
+  val FormatVersion = 1
+
+  final case class PosMeta(format: Int, width: Long, num_partitions: Int)
+
+  /** Segments schema, supplied explicitly: a corpus that tokenizes to
+    * nothing writes a fileless dir and schema inference throws (same
+    * hazard as [[IndexBuild.segmentSchema]]). part_id is the partition
+    * column. */
+  val segSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[PosRow].schema.add("part_id", "int")
+
+  def hasPositions(spark: SparkSession, posDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(posDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def writeMetaJson(spark: SparkSession, posDir: String,
+                            width: Long, numPartitions: Int): Unit = {
+    val json = s"""{"format":$FormatVersion,"width":$width,""" +
+      s""""num_partitions":$numPartitions}"""
+    val p = new org.apache.hadoop.fs.Path(metaPath(posDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      metaPath(posDir) + ".tmp-" + ProcessHandle.current().pid())
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"positions meta commit rename failed: $tmp -> $p")
+  }
+
+  def readMeta(spark: SparkSession, posDir: String): PosMeta = {
+    require(hasPositions(spark, posDir),
+      s"no committed positions sidecar at $posDir — a write killed before " +
+        "its meta-last commit leaves no meta; rebuild with Positional.write " +
+        "or Positional.writeBuild")
+    val p = new org.apache.hadoop.fs.Path(metaPath(posDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val m = PosMeta(n.get("format").asInt, n.get("width").asLong,
+      n.get("num_partitions").asInt)
+    require(m.format == FormatVersion,
+      s"positions sidecar at $posDir has format ${m.format}, this build " +
+        s"reads $FormatVersion — rebuild it")
+    m
+  }
+
+  /** Segments + manifest + meta-LAST commit for an in-memory built (or
+    * merged) positions dataset. `done` part_ids keep their manifest rows
+    * (the resume path appends only the gap). */
+  private def commitTail(spark: SparkSession, merged: Dataset[PosRow],
+                         posDir: String, width: Long, numPartitions: Int,
+                         done: Set[Int]): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged
+      .withColumn("part_id", pmod(col("bucket"), lit(numPartitions)).cast("int"))
+      .repartition(numPartitions, col("part_id"))
+      // term-sorted files ⇒ tight row-group min/max stats: a phrase
+      // query's `term isin` prunes row groups instead of scanning all
+      .sortWithinPartitions(col("term"), col("bucket"), col("min_doc"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part_id")
+      .parquet(segmentsDir(posDir))
+    val written = spark.read.schema(segSchema).parquet(segmentsDir(posDir))
+    val all = written.groupBy($"part_id")
+      .agg(count(lit(1)).as("n_rows"), sum($"n").as("n_doc_entries"))
+      .collect().toSeq
+    val fresh = all.filterNot(r => done.contains(r.getInt(0)))
+    if (fresh.nonEmpty)
+      fresh.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toDF("part_id", "n_rows", "n_doc_entries")
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(manifestDir(posDir))
+    writeMetaJson(spark, posDir, width, numPartitions)
+  }
+
+  /** Persist an in-memory built positions dataset with the full commit
+    * discipline (segments → manifest → meta LAST). A write killed mid-way
+    * leaves a dir [[read]] refuses to open. */
+  def write(pos: Dataset[PosRow], dir: String, width: Long,
+            numPartitions: Int = 32): Unit = {
+    val spark = pos.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    commitTail(spark, pos, dir, width, numPartitions, Set.empty)
+  }
+
+  /** Full disk build with kill-and-resume, mirroring
+    * [[IndexBuild.writeIndex]]: with resume=true, part_ids already in the
+    * manifest are dropped BETWEEN the map-side partials and the shuffle,
+    * and dynamic partition overwrite replaces only rebuilt part_ids. */
+  def writeBuild(spark: SparkSession, docs: DataFrame, posDir: String,
+                 width: Long, numPartitions: Int = 32,
+                 resume: Boolean = false,
+                 flushEntries: Int = 2000000): Unit = {
+    import spark.implicits._
+    if (!resume) {
+      val hp = new org.apache.hadoop.fs.Path(posDir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val done: Set[Int] = {
+      // _SUCCESS gate, not bare existence: a first manifest append killed
+      // mid-write leaves the dir present but fileless (the wedge the
+      // round-4 review sweep fixed for the index)
+      val p = new org.apache.hadoop.fs.Path(s"${manifestDir(posDir)}/_SUCCESS")
+      if (resume && p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        spark.read.parquet(manifestDir(posDir)).select($"part_id").as[Int].collect().toSet
+      else Set.empty
+    }
+    val partials0 = buildPartials(spark, docs, width, flushEntries)
+    val partials =
+      if (done.isEmpty) partials0
+      else partials0.where(!pmod(col("bucket"), lit(numPartitions))
+        .isin(done.toSeq: _*))
+    commitTail(spark, mergeByKey(partials), posDir, width, numPartitions, done)
+  }
+
+  /** Reopen a committed sidecar (meta + format gate, explicit schema). */
   def read(spark: SparkSession, dir: String): Dataset[PosRow] = {
     import spark.implicits._
-    spark.read.parquet(dir).as[PosRow]
+    readMeta(spark, dir)
+    spark.read.schema(segSchema).parquet(segmentsDir(dir))
+      .select($"term", $"bucket", $"n", $"min_doc", $"bytes")
+      .as[PosRow]
+  }
+
+  /** Merge committed sidecars (disjoint doc sets) into `outPosDir`.
+    * concat=true (disjoint docId INTERVALS, the tier/append case): rows
+    * pass through UNION-only — zero decode; every reader already handles
+    * several rows per (term, bucket) in min_doc order, so a key holds at
+    * most one row per merge input (≤ the tier count under streaming).
+    * concat=false (interleaved): per-key decode + resort + re-encode via
+    * [[mergeByKey]], the positional analog of the index merge's decoded
+    * rebuild. */
+  def mergeSidecars(spark: SparkSession, posDirs: Seq[String],
+                    outPosDir: String, concat: Boolean): Unit = {
+    val metas = posDirs.map(readMeta(spark, _))
+    require(metas.map(m => (m.width, m.num_partitions)).distinct.size == 1,
+      s"mismatched positions geometry across merge inputs: $metas")
+    val all = posDirs.map(read(spark, _)).reduce(_ union _)
+    val merged = if (concat) all else mergeByKey(all)
+    val hp = new org.apache.hadoop.fs.Path(outPosDir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    commitTail(spark, merged, outPosDir, metas.head.width,
+      metas.head.num_partitions, Set.empty)
   }
 
   /** One bucket's positions for one term, decoded to flat primitive

@@ -74,12 +74,33 @@ object QueryEngine {
       // (OR across the values of an IN-predicate). BM25 stats stay
       // corpus-global — a filter restricts candidates, not scoring.
       filterTerms: Seq[String] = Nil,
+      // range predicate `attr BETWEEN lo AND hi` over NUMERIC attr values
+      // ([[Attrs.rangeTermMatches]]): same virtual-list mask as
+      // filterTerms, the requested lists selected by value range instead
+      // of an explicit IN set
+      filterRange: Option[(String, Double, Double)] = None,
       // df per QUERY term (what plan() was given): the head-heavy guard
       // sizes each query's candidate posting mass from this driver-side
       // instead of launching a per-batch aggregation job over `postings`
       // (which re-executes an unpersisted pipeline). Empty in hand-built
       // plans — [[run]] then falls back to the sizing job.
-      termDf: Map[String, Long] = Map.empty)
+      termDf: Map[String, Long] = Map.empty) {
+
+    /** Any attribute filter in force? (empty-IN batches are answered
+      * upstream — [[runOnHandle]] returns empty before planning). */
+    def filterActive: Boolean = filterTerms.nonEmpty || filterRange.isDefined
+
+    @transient private lazy val filterTermSet: Set[String] = filterTerms.toSet
+
+    /** Is this term one of the predicate's requested virtual lists? The
+      * BINDING match decision for the mask fold — both the cached path
+      * (which sees every persisted attr list) and the disk path (whose
+      * Catalyst pre-selection is a superset) apply it. */
+    def isRequestedFilter(term: String): Boolean =
+      Attrs.isFilterTerm(term) && (filterTermSet.contains(term) ||
+        filterRange.exists { case (a, lo, hi) =>
+          Attrs.rangeTermMatches(term, a, lo, hi) })
+  }
 
   /** Build the batch plan from per-term stats (df) + corpus scalars.
     * `termStats` may be the full stats table; only query terms are used.
@@ -179,8 +200,11 @@ object QueryEngine {
     // int array reused across ALL of this task's buckets (a fresh
     // Array[Boolean] per bucket was alloc + zeroing the scorer otherwise
     // avoids). beginMask() invalidates every prior allow() in O(1).
+    // curMask starts at 1 with the stamps zeroed: a masked score() call
+    // that never saw a beginMask() admits NOTHING (round-4 ADVICE: at 0/0
+    // the misuse silently degraded to an unfiltered query).
     private val maskStamp = new Array[Int](width)
-    private var curMask = 0
+    private var curMask = 1
 
     /** Start a new bucket's allowed-offset mask (clears the previous one). */
     def beginMask(): Unit = curMask += 1
@@ -417,6 +441,20 @@ object QueryEngine {
     }
   }
 
+  /** The batch's posting restriction: scoring terms + explicit filter
+    * terms via [[whereTerms]], plus — for a range predicate — the attr's
+    * in-range virtual lists (the range rows are disjoint from both by the
+    * filter-marker prefix, so the union never duplicates). */
+  def restrictToPlan(postings: Dataset[PostingRow], terms: Seq[String],
+                     plan: Plan): Dataset[PostingRow] = {
+    val base = whereTerms(postings, terms ++ plan.filterTerms)
+    plan.filterRange match {
+      case Some((a, lo, hi)) =>
+        base.union(postings.where(Attrs.rangeTermCond(a, lo, hi)))
+      case None => base
+    }
+  }
+
   /** Per-task materialization cap for the per-query grouping below: a
     * query's group buffers ALL posting rows of its terms in one task, so a
     * head-heavy batch must not take that path (round-3 VERDICT: a query
@@ -441,7 +479,7 @@ object QueryEngine {
           maxGroupPostings: Long = MaxGroupPostings): DataFrame = {
     import spark.implicits._
     val terms = plan.termToQueries.keys.toSeq
-    val filtered = whereTerms(postings, terms ++ plan.filterTerms)
+    val filtered = restrictToPlan(postings, terms, plan)
     // conjunctive and attr-filtered batches always take the doc-partitioned
     // TAAT path: AND evaluation is a per-doc intersection, which the bucket
     // scorer does natively (per-doc matched-list count), and the attr mask
@@ -458,7 +496,7 @@ object QueryEngine {
         rebucketByRange(filtered, width, Codec.BlockSize),
         plan.copy(bucketWidth = width), effort, preFiltered = true)
     }
-    if (plan.conjunctive || plan.filterTerms.nonEmpty) return rerouted()
+    if (plan.conjunctive || plan.filterActive) return rerouted()
     // Guard sizing: a term's total posting count IS its df, which the plan
     // already carries from the stats table — driver-side arithmetic, no
     // extra job (the aggregation re-evaluated the possibly-unpersisted
@@ -635,7 +673,7 @@ object QueryEngine {
     // head-heavy rebucket path) — don't plan a second semi-join stage.
     // An attr-filtered batch also keeps its virtual filter lists.
     val filtered = if (preFiltered) postings
-                   else whereTerms(postings, terms ++ plan.filterTerms)
+                   else restrictToPlan(postings, terms, plan)
     // bucketLocal: the caller guarantees every bucket's rows are already
     // co-located in one input partition (the handle's cached serving
     // layout) — the repartition below would be a pure re-shuffle of the
@@ -679,20 +717,21 @@ object QueryEngine {
           // predicate's values. A filtered plan with NO filter row here
           // means no doc of this bucket matches the predicate: skip the
           // bucket outright.
-          val masked = p.filterTerms.nonEmpty
+          val masked = p.filterActive
           var anyAllowed = !masked
           if (masked) {
             taat.beginMask()
-            p.filterTerms.foreach { ft =>
-              termRows.get(ft).foreach(_.foreach(_.blocks.foreach { b =>
-                val (ds, _, _) = Codec.decodeBlock(b)
-                var i = 0
-                while (i < ds.length) {
-                  taat.allow((ds(i) - base).toInt)
-                  i += 1
-                }
-                anyAllowed ||= ds.length > 0
-              }))
+            termRows.foreach { case (t, rows) =>
+              if (p.isRequestedFilter(t))
+                rows.foreach(_.blocks.foreach { b =>
+                  val (ds, _, _) = Codec.decodeBlock(b)
+                  var i = 0
+                  while (i < ds.length) {
+                    taat.allow((ds(i) - base).toInt)
+                    i += 1
+                  }
+                  anyAllowed ||= ds.length > 0
+                })
             }
           }
           if (anyAllowed) {
@@ -877,11 +916,12 @@ object QueryEngine {
                  k: Int = QuerySet.K,
                  effort: Option[EffortAccs] = None,
                  conjunctive: Boolean = false,
-                 filter: Option[(String, Seq[String])] = None): DataFrame =
+                 filter: Option[(String, Seq[String])] = None,
+                 rangeFilter: Option[(String, Double, Double)] = None): DataFrame =
     // query-once entry point: a serving cache would never be reused (and
     // never released) — open uncached
     runOnHandle(spark, openIndex(spark, dir, cacheServing = false),
-      queries, k, effort, conjunctive, filter)
+      queries, k, effort, conjunctive, filter, rangeFilter)
 
   /** One query batch against an opened index (load once, query many —
     * the reference's test-harness shape).
@@ -897,11 +937,17 @@ object QueryEngine {
                   k: Int = QuerySet.K,
                   effort: Option[EffortAccs] = None,
                   conjunctive: Boolean = false,
-                  filter: Option[(String, Seq[String])] = None): DataFrame = {
+                  filter: Option[(String, Seq[String])] = None,
+                  rangeFilter: Option[(String, Double, Double)] = None): DataFrame = {
     import spark.implicits._
+    require(filter.isEmpty || rangeFilter.isEmpty,
+      "one attribute predicate per batch: pass filter (IN) or rangeFilter " +
+        "(BETWEEN), not both")
     // `attr IN ()` matches NOTHING (Oracle.topkFiltered's zero-arg isin is
     // identically false) — it must not degrade to "no filter", which is
-    // what empty filterTerms would silently mean downstream.
+    // what empty filterTerms would silently mean downstream. An empty
+    // RANGE (lo > hi) needs no special case: it selects zero virtual
+    // lists, so every bucket folds an empty mask and admits nothing.
     if (filter.exists(_._2.isEmpty))
       return spark.emptyDataset[Hit].toDF()
         .select($"query_id", $"rank", $"doc_id", $"score_micro")
@@ -918,23 +964,26 @@ object QueryEngine {
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
     val fTerms = filter.toSeq.flatMap { case (a, vs) => vs.map(Attrs.filterTerm(a, _)) }
     val p = plan(cs, termDf, queries, k, conjunctive)
-      .copy(bucketWidth = meta.bucket_width, filterTerms = fTerms)
-    def fRows(): Dataset[PostingRow] = {
-      val (a, vs) = filter.get
-      Attrs.filterRows(spark, h.dir, a, vs)
+      .copy(bucketWidth = meta.bucket_width, filterTerms = fTerms,
+        filterRange = rangeFilter)
+    val filterOn = p.filterActive
+    def fRows(): Dataset[PostingRow] = (filter, rangeFilter) match {
+      case (Some((a, vs)), _) => Attrs.filterRows(spark, h.dir, a, vs)
+      case (_, Some((a, lo, hi))) => Attrs.rangeFilterRows(spark, h.dir, a, lo, hi)
+      case _ => throw new IllegalStateException("fRows without a filter")
     }
     if (meta.doc_partitioned)
       h.served match {
-        case Some(cached) if fTerms.isEmpty || h.attrsCached =>
+        case Some(cached) if !filterOn || h.attrsCached =>
           // filtered batches may use the cache only if it carries the
           // attr sidecar (openIndex folds it in when present at open
           // time) — otherwise their buckets would all look filter-empty
           runDocPartitioned(spark, cached, p, effort, bucketLocal = true)
         case _ =>
-          val base = if (fTerms.isEmpty) h.segments else h.segments.union(fRows())
+          val base = if (!filterOn) h.segments else h.segments.union(fRows())
           runDocPartitioned(spark, base, p, effort)
       }
-    else if (fTerms.nonEmpty) {
+    else if (filterOn) {
       // term-partitioned + attr filter: the mask is a doc-range structure,
       // so serve through the re-bucketed TAAT path with the filter lists
       // riding the same shuffle (they are already range-bucketed; the

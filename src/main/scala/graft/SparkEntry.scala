@@ -131,7 +131,8 @@ object SparkEntry {
       val cs = Stats.corpus(d)
       val posDir = s"${scratchDir("phrase-idx-")}/positions"
       Positional.write(
-        Positional.build(s, d, testConfig.bucketWidth), posDir)
+        Positional.build(s, d, testConfig.bucketWidth), posDir,
+        testConfig.bucketWidth, testConfig.numPartitions)
       Positional.phraseTopK(s, Positional.read(s, posDir),
         PhraseSet.phrases, PhraseSet.K, cs.n_docs, cs.avgdl)
     }),
@@ -174,6 +175,21 @@ object SparkEntry {
       Attrs.writeAttrs(s, d, serveDir, Seq("lang"))
       QueryEngine.runOnIndex(s, serveDir,
         filter = Some(("lang", Seq("es", "de"))))
+    }),
+    // --- range-filtered retrieval: same lifecycle as q_topk_filtered but
+    // the predicate is `n_chars BETWEEN 120 AND 260` — the range compiles
+    // to the attr's in-range virtual lists (Attrs.rangeTermMatches), no
+    // value enumeration driver-side; BM25 stats stay corpus-global --------
+    "q_topk_filtered_range" -> ((s, dir) => {
+      val root = scratchDir("rfilter-idx-")
+      val termDir = s"$root/term"
+      val serveDir = s"$root/serve"
+      val d = docs(s, dir)
+      IndexBuild.writeIndex(s, d, termDir, testConfig)
+      IndexBuild.deriveDocPartitioned(s, termDir, serveDir)
+      Attrs.writeAttrs(s, d, serveDir, Seq("n_chars"))
+      QueryEngine.runOnIndex(s, serveDir,
+        rangeFilter = Some(("n_chars", 120.0, 260.0)))
     }),
     // --- merge lifecycle (J5, the north-star multi-pass merge: full-outer
     // stats join + re-salted posting rebuild): the corpus split into two
@@ -314,6 +330,7 @@ object SparkEntry {
     "q_topk_indexed"    -> OracleSql.topkSql(),
     "q_topk_serving"    -> OracleSql.topkSql(),
     "q_topk_filtered"   -> OracleSql.topkFilteredSql("lang", Seq("es", "de")),
+    "q_topk_filtered_range" -> OracleSql.topkFilteredRangeSql("n_chars", 120, 260),
     "q_topk_merged"     -> OracleSql.topkSql(),
     "q_topk_conj"       -> OracleSql.topkConjSql(),
     "q_phrase_topk"     -> OracleSql.phraseTopkSql(),

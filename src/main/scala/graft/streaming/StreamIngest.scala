@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.{IndexBuild, Merge}
+import graft.{Attrs, IndexBuild, Merge, Positional}
 import graft.extra.Pages
 
 /** Incremental index maintenance via Structured Streaming — the
@@ -65,21 +65,54 @@ object StreamIngest {
       .sorted
   }
 
-  /** One micro-batch: extract → offset ids → build a segment index.
-    * Idempotent (replay sees the committed meta and skips). Returns the
-    * batch's meta, or None for an empty/replayed batch. */
+  /** Streamed docs frame: the extraction output plus DERIVED filterable
+    * attributes — the input_hint page stream carries no metadata columns
+    * beyond url, so n_chars (and url itself) are what per-batch attr
+    * sidecars can serve. Derivation is deterministic, so a replayed batch
+    * rebuilds identical sidecars. */
+  private def docsOf(pagesBatch: DataFrame, offset: Long): DataFrame =
+    Pages.toDocuments(pagesBatch)
+      .select((col("doc_id") + offset).as("doc_id"), col("text"), col("url"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** One micro-batch: extract → offset ids → build a segment index (+
+    * sidecars). Idempotent (replay sees the committed meta and skips) —
+    * including the kill window where the INDEX committed but a sidecar
+    * write didn't: the replay path repairs the missing sidecars from the
+    * same deterministic batch, so the tier merge (which requires uniform
+    * sidecar presence) can never wedge on a half-committed batch.
+    * Returns the batch's meta, or None for an empty/replayed batch. */
   def ingestBatch(spark: SparkSession, pagesBatch: DataFrame, workDir: String,
-                  cfg: IndexBuild.Config, batchId: Long): Option[IndexBuild.Meta] = {
+                  cfg: IndexBuild.Config, batchId: Long,
+                  attrCols: Seq[String] = Nil,
+                  withPositions: Boolean = false): Option[IndexBuild.Meta] = {
     val dir = batchDir(workDir, batchId)
-    if (committed(spark, dir)) return Some(IndexBuild.readMeta(spark, dir))
-    if (pagesBatch.isEmpty) return None
+    def sidecars(docs: => DataFrame): Unit = {
+      if (attrCols.nonEmpty && !Attrs.hasAttrs(spark, dir))
+        Attrs.writeAttrs(spark, docs, dir, attrCols)
+      if (withPositions &&
+          !Positional.hasPositions(spark, Positional.positionsDir(dir)))
+        Positional.writeBuild(spark, docs, Positional.positionsDir(dir),
+          cfg.bucketWidth, cfg.numPartitions)
+    }
     // monotone offset from PRIOR batches only — deterministic on replay
-    val offset = committedBatchIds(spark, workDir).filter(_ < batchId)
+    def offset: Long = committedBatchIds(spark, workDir).filter(_ < batchId)
       .map(id => IndexBuild.readMeta(spark, batchDir(workDir, id)).max_doc_id + 1)
       .foldLeft(0L)(math.max)
-    val docs = Pages.toDocuments(pagesBatch)
-      .select((col("doc_id") + offset).as("doc_id"), col("text"))
-    Some(IndexBuild.writeIndex(spark, docs, dir, cfg))
+    if (committed(spark, dir)) {
+      // a STRIPPED batch (content merged into a segment) keeps only its
+      // meta — its sidecars live in the merged segment; only an unmerged
+      // batch dir (segments still present) repairs here
+      if (fs(spark).exists(new org.apache.hadoop.fs.Path(IndexBuild.segmentsDir(dir))))
+        sidecars(docsOf(pagesBatch, offset))
+      return Some(IndexBuild.readMeta(spark, dir))
+    }
+    if (pagesBatch.isEmpty) return None
+    val docs = docsOf(pagesBatch, offset)
+    val meta = IndexBuild.writeIndex(spark, docs.select(col("doc_id"), col("text")),
+      dir, cfg)
+    sidecars(docs)
+    Some(meta)
   }
 
   /** Wire a streaming pages source into per-batch index builds, with
@@ -88,12 +121,14 @@ object StreamIngest {
     * [[compact]]). The caller owns the trigger/await; checkpoint lives
     * under workDir. */
   def start(pages: DataFrame, workDir: String,
-            cfg: IndexBuild.Config, tierFactor: Int = 2): StreamingQuery = {
+            cfg: IndexBuild.Config, tierFactor: Int = 2,
+            attrCols: Seq[String] = Nil,
+            withPositions: Boolean = false): StreamingQuery = {
     val spark = pages.sparkSession
     pages.writeStream
       .option("checkpointLocation", s"$workDir/checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, workDir, cfg, batchId)
+        ingestBatch(spark, batch, workDir, cfg, batchId, attrCols, withPositions)
         if (tierFactor >= 2) { tierUp(spark, workDir, tierFactor); () }
       }
       .start()

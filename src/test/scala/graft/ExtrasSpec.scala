@@ -63,6 +63,22 @@ class ExtrasSpec extends AnyFunSuite {
       (10L, 10L), (11L, 10L), (12L, 10L)))
   }
 
+  test("dup clusters: 1000-edge chain converges in O(log D) pointer-doubling rounds") {
+    import spark.implicits._
+    // the adversarial shape for plain propagation: one path component of
+    // diameter 1000 (templated-page transitive dup chains at web scale)
+    val n = 1000
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("vec_a", "vec_b")
+    val (df, rounds) = Dedup.dupClustersCounted(spark, pairs)
+    val got = df.as[(Long, Long)].collect().toSeq
+    assert(got == (0 to n).map(i => (i.toLong, 0L)))
+    // plain propagation needs ~D rounds; pointer doubling must stay
+    // within ~2·log2(D) (measured: ~7 for D=1000; log2(1000) ≈ 10)
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"$rounds rounds > pointer-doubling bound $bound")
+  }
+
   test("simhash: identical docs identical hash; near-dup low hamming; unrelated high") {
     import spark.implicits._
     val df = Seq(

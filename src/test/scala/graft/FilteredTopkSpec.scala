@@ -170,6 +170,61 @@ class FilteredTopkSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("range filter (n_chars BETWEEN) == exact range oracle on every serving shape") {
+    val (lo, hi) = (120.0, 260.0)
+    // the range sidecar shares the root: add n_chars lists alongside lang
+    val r = tmpDir()
+    IndexBuild.writeIndex(spark, docs, s"$r/term", SparkEntry.testConfig)
+    IndexBuild.deriveDocPartitioned(spark, s"$r/term", s"$r/serve")
+    Attrs.writeAttrs(spark, docs, s"$r/serve", Seq("lang", "n_chars"))
+    Attrs.writeAttrs(spark, docs, s"$r/term", Seq("lang", "n_chars"))
+    val expected = rows(Oracle.topkFilteredRange(spark, docs, "n_chars", lo, hi))
+    assert(expected.nonEmpty)
+    assert(expected != rows(Oracle.topk(spark, docs))) // the range actually cuts
+    // doc-partitioned, uncached
+    assert(rows(QueryEngine.runOnIndex(spark, s"$r/serve",
+      rangeFilter = Some(("n_chars", lo, hi)))) == expected)
+    // cached handle: the cache holds EVERY attr's lists (lang too) — the
+    // scorer-side value parse must select only the in-range n_chars lists
+    val h = QueryEngine.openIndex(spark, s"$r/serve")
+    try {
+      assert(rows(QueryEngine.runOnHandle(spark, h,
+        rangeFilter = Some(("n_chars", lo, hi)))) == expected)
+      // same handle still serves IN filters and unfiltered batches
+      assert(rows(QueryEngine.runOnHandle(spark, h,
+        filter = Some((attr, values)))) == oracle)
+      assert(rows(QueryEngine.runOnHandle(spark, h)) ==
+        rows(Oracle.topk(spark, docs)))
+    } finally h.close()
+    // term-partitioned rebucket fallback
+    assert(rows(QueryEngine.runOnIndex(spark, s"$r/term",
+      rangeFilter = Some(("n_chars", lo, hi)))) == expected)
+    // an empty range (lo > hi) selects no lists and must match NOTHING
+    assert(rows(QueryEngine.runOnIndex(spark, s"$r/serve",
+      rangeFilter = Some(("n_chars", hi, lo)))).isEmpty)
+  }
+
+  test("stale (pre-version) sidecar fails loudly instead of matching nothing") {
+    import spark.implicits._
+    val r = tmpDir()
+    val sdf = (0L until 16L).map(i => (i, s"alpha w$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = IndexBuild.Config(numPartitions = 2, bucketWidth = 8,
+      headDf = 16, docPartitioned = true)
+    IndexBuild.writeIndex(spark, sdf, r, cfg)
+    Attrs.writeAttrs(spark, sdf, r, Seq("lang"))
+    // simulate a sidecar from a previous on-disk format: rows present,
+    // version marker absent (pre-versioning sidecars look exactly so)
+    val marker = new org.apache.hadoop.fs.Path(s"${Attrs.attrsDir(r)}/_sidecar_meta.json")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(marker, false)
+    assert(!Attrs.hasAttrs(spark, r))
+    val e = intercept[IllegalArgumentException] {
+      QueryEngine.runOnIndex(spark, r, queries = Seq((1, Seq("alpha"))),
+        filter = Some(("lang", Seq("en")))).collect()
+    }
+    assert(e.getMessage.contains("sidecar"))
+  }
+
   test("empty-bucket masking: a bucket with zero matching docs is skipped, results exact") {
     import spark.implicits._
     // synthetic corpus where the predicate value exists ONLY in the last

@@ -124,6 +124,73 @@ class PositionalSpec extends AnyFunSuite {
     }
   }
 
+  private def tmpPosDir(): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pos").toString + "/positions"
+
+  private def decoded(dir: String): Set[(String, Int, Long, Int, Seq[Int])] = {
+    import spark.implicits._
+    Positional.read(spark, dir).collect().toSet[Positional.PosRow]
+      .flatMap(r => Positional.decodeRow(r)
+        .map(d => (r.term, r.bucket, d.doc_id, d.dl, d.positions.toSeq)))
+  }
+
+  test("sidecar lifecycle: meta-last commit — disk round-trip exact, killed write refuses to open") {
+    import spark.implicits._
+    val docsDf = Stats.readDocuments(spark, "/root/testdata/sf0.001")
+    val cs = Stats.corpus(docsDf)
+    val dir = tmpPosDir()
+    val pos = Positional.build(spark, docsDf, width = 128)
+    Positional.write(pos, dir, width = 128, numPartitions = 8)
+    def tk(p: org.apache.spark.sql.Dataset[Positional.PosRow]) =
+      Positional.phraseTopK(spark, p, PhraseSet.phrases, PhraseSet.K,
+        cs.n_docs, cs.avgdl).as[(Int, Int, Long, Long)].collect().toSeq
+    val viaDisk = tk(Positional.read(spark, dir))
+    assert(viaDisk == tk(pos) && viaDisk.nonEmpty)
+    // kill window: segments + manifest written, meta-last commit never ran
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    meta.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(meta, false)
+    assert(!Positional.hasPositions(spark, dir))
+    val e = intercept[IllegalArgumentException](Positional.read(spark, dir))
+    assert(e.getMessage.contains("positions sidecar"))
+  }
+
+  test("writeBuild kill-and-resume: partial manifest completes to content identical to fresh") {
+    import spark.implicits._
+    val docsDf = Stats.readDocuments(spark, "/root/testdata/sf0.001")
+    val cs = Stats.corpus(docsDf)
+    val full = tmpPosDir(); val partial = tmpPosDir()
+    Positional.writeBuild(spark, docsDf, full, width = 128, numPartitions = 8)
+    Positional.writeBuild(spark, docsDf, partial, width = 128, numPartitions = 8)
+    // simulate a kill: drop two part_ids' segments, strip their manifest
+    // rows, and remove the meta (a killed run never reached its commit)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(1, 2).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${Positional.segmentsDir(partial)}/part_id=$p"), true)
+    }
+    val kept = spark.read.parquet(Positional.manifestDir(partial))
+      .where(!$"part_id".isin(1, 2)).collect()
+    val keptDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(kept.toSeq),
+      spark.read.parquet(Positional.manifestDir(partial)).schema)
+    keptDf.write.mode("overwrite").parquet(s"$partial/manifest2")
+    fs.delete(new org.apache.hadoop.fs.Path(Positional.manifestDir(partial)), true)
+    spark.read.parquet(s"$partial/manifest2")
+      .write.parquet(Positional.manifestDir(partial))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$partial/meta"), false)
+    assert(!Positional.hasPositions(spark, partial))
+    // resume fills exactly the gap and commits
+    Positional.writeBuild(spark, docsDf, partial, width = 128,
+      numPartitions = 8, resume = true)
+    assert(decoded(partial) == decoded(full))
+    def tk(dir: String) =
+      Positional.phraseTopK(spark, Positional.read(spark, dir),
+        PhraseSet.phrases, PhraseSet.K, cs.n_docs, cs.avgdl)
+        .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(tk(partial) == tk(full) && tk(full).nonEmpty)
+  }
+
   test("conjunctive topk: every hit contains ALL query terms; subset of disjunctive candidates") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"

@@ -90,6 +90,85 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(StreamIngest.committedBatchIds(spark, workDir).size == 3)
   }
 
+  test("streamed sidecars: per-batch attrs + positions fold through tiers; filtered/phrase queries exact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Stats.readDocuments(spark, sfDir)
+    val pages = Pages.fromDocuments(docs)
+      .select($"url", $"html").as[(String, Array[Byte])].collect().toSeq
+    val chunks = pages.grouped((pages.size + 2) / 3).toSeq
+
+    val workDir = tmpDir()
+    val cfg = SparkEntry.testConfig
+    val ms = MemoryStream[(String, Array[Byte])]
+    val q = StreamIngest.start(ms.toDS().toDF("url", "html"), workDir, cfg,
+      attrCols = Seq("n_chars"), withPositions = true)
+    try {
+      chunks.foreach { ch => ms.addData(ch: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // every LIVE unit (merged segment or uncovered batch) carries both
+    // sidecars — the tier merges folded them along with the postings
+    StreamIngest.currentUnits(spark, workDir).foreach { u =>
+      assert(Attrs.hasAttrs(spark, u.dir), s"no attrs on ${u.dir}")
+      assert(Positional.hasPositions(spark, Positional.positionsDir(u.dir)),
+        s"no positions on ${u.dir}")
+    }
+
+    val serving = tmpDir()
+    StreamIngest.compact(spark, workDir, serving)
+    assert(Attrs.hasAttrs(spark, serving))
+    assert(Positional.hasPositions(spark, Positional.positionsDir(serving)))
+
+    // comparator corpus: the ids the stream assigned (per-chunk url rank
+    // + monotone offsets), with the same derived n_chars
+    var offset = 0L
+    val expected = chunks.flatMap { ch =>
+      val rows = ch.sortBy(_._1).zipWithIndex.map { case ((url, html), i) =>
+        (offset + i, url, Pages.extractText(html))
+      }
+      offset += ch.size
+      rows
+    }
+    val expDf = expected.toDF("doc_id", "url", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.as[(Int, Int, Long, Long)].collect().toSeq
+    // range-filtered query over the compacted index == exact oracle
+    val got = rows(QueryEngine.runOnIndex(spark, serving,
+      rangeFilter = Some(("n_chars", 120.0, 260.0))))
+    assert(got == rows(Oracle.topkFilteredRange(spark, expDf, "n_chars", 120.0, 260.0)))
+    assert(got.nonEmpty)
+    // phrase query over the compacted positions == a one-shot sidecar
+    val cs = Stats.corpus(expDf)
+    val onePos = s"${tmpDir()}/positions"
+    Positional.writeBuild(spark, expDf, onePos, cfg.bucketWidth, cfg.numPartitions)
+    val tk = (d: String) =>
+      rows(Positional.phraseTopK(spark, Positional.read(spark, d),
+        PhraseSet.phrases, PhraseSet.K, cs.n_docs, cs.avgdl))
+    val gotP = tk(Positional.positionsDir(serving))
+    assert(gotP == tk(onePos) && gotP.nonEmpty)
+
+    // kill-window repair: wipe one live batch's sidecars (an index that
+    // committed before its sidecar writes died), replay the batch —
+    // ingestBatch rebuilds exactly the missing sidecars
+    val liveBatch = StreamIngest.currentUnits(spark, workDir)
+      .filter(u => u.lo == u.hi).head
+    val fsys = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(Attrs.attrsDir(liveBatch.dir)), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(
+      Positional.positionsDir(liveBatch.dir)), true)
+    StreamIngest.ingestBatch(spark, chunks(liveBatch.lo.toInt).toDF("url", "html"),
+      workDir, cfg, liveBatch.lo, attrCols = Seq("n_chars"), withPositions = true)
+    assert(Attrs.hasAttrs(spark, liveBatch.dir))
+    assert(Positional.hasPositions(spark, Positional.positionsDir(liveBatch.dir)))
+    // the repaired log still compacts to the same filtered answer
+    val serving2 = tmpDir()
+    StreamIngest.compact(spark, workDir, serving2)
+    assert(rows(QueryEngine.runOnIndex(spark, serving2,
+      rangeFilter = Some(("n_chars", 120.0, 260.0)))) == got)
+  }
+
   test("tiered compaction: K batches merge with O(log K) rewrites, == one-shot build") {
     import spark.implicits._
     val docs = Stats.readDocuments(spark, sfDir)
