@@ -29,17 +29,34 @@ object SparkEntry {
     * the sandbox reaps /tmp mid-job, and the returned DataFrames read
     * these dirs lazily — so cleanup is a JVM-EXIT hook (after all lazy
     * reads), not eager deletion, plus a first-use sweep of dirs older
-    * than a day (a crashed JVM's hook never ran; live concurrent runs
-    * are hours old at most and untouched). Without either, every
-    * contract run leaked a full index copy per index-backed query. */
+    * than a day (a crashed JVM's hook never ran). Age alone is not
+    * liveness (round-4 ADVICE: a >24h soak run would have its scratch
+    * reaped mid-read), so each dir is pid-stamped at creation and the
+    * sweep additionally requires the owning JVM to be gone
+    * (ProcessHandle.of(pid).isEmpty) before deleting. Without either,
+    * every contract run leaked a full index copy per index-backed
+    * query. */
+  private[graft] val PidFile = ".owner.pid"
+  private[graft] def ownerAlive(dir: java.io.File): Boolean = {
+    val pf = new java.io.File(dir, PidFile)
+    if (!pf.isFile) return false // pre-stamp layout: fall back to age
+    try {
+      val pid = new String(
+        java.nio.file.Files.readAllBytes(pf.toPath), "UTF-8").trim.toLong
+      ProcessHandle.of(pid).isPresent
+    } catch { case _: Exception => false } // unreadable stamp = not live
+  }
+  private[graft] def sweepStale(root: java.io.File, cutoffMs: Long): Unit = {
+    val stale = root.listFiles()
+    if (stale != null)
+      stale.filter(f =>
+          f.isDirectory && f.lastModified() < cutoffMs && !ownerAlive(f))
+        .foreach(deleteRecursively)
+  }
   private lazy val scratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Paths.get("/root/repo/target/scratch")
     java.nio.file.Files.createDirectories(root)
-    val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
-    val stale = root.toFile.listFiles()
-    if (stale != null)
-      stale.filter(f => f.isDirectory && f.lastModified() < dayAgo)
-        .foreach(deleteRecursively)
+    sweepStale(root.toFile, System.currentTimeMillis() - 24L * 3600 * 1000)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       created.forEach(d => deleteRecursively(d.toFile))))
     root
@@ -53,6 +70,9 @@ object SparkEntry {
   }
   private def scratchDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+    java.nio.file.Files.write(
+      d.resolve(PidFile),
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
     created.add(d)
     d.toString
   }
