@@ -752,13 +752,67 @@ object IndexBuild {
     CorpusScan(nDocs, maxD, minD, heads.result())
   }
 
+  /** Heads-only sampled scan, with the doc sample pushed INTO the
+    * Catalyst plan: `where(doc_id % inv === 0)` evaluates inside
+    * whole-stage codegen over the scan/generator, so the 1−1/inv
+    * non-sampled rows never cross the RDD boundary at all. The fused
+    * [[corpusScanWithHeads]] had to iterate EVERY row because it also
+    * carried the corpus scalars; [[writeIndex]] now gets those from a
+    * concurrent columnar agg that overlaps the main posting pass, which
+    * leaves this — 1/inv of the tokenize work — as the build's only
+    * serial pre-pass. Selection parity with both the old in-loop
+    * `d % inv == 0` and the Catalyst `pmod` mirror: on the selected set
+    * (remainder zero) signed rem and pmod agree for any sign of doc_id.
+    * Null doc_ids still fail loudly (here on sampled rows; the main
+    * fused pass guards every row). */
+  def headsSampled(spark: SparkSession, docs: DataFrame, cfg: Config): Set[String] = {
+    import spark.implicits._
+    val inv = math.max(cfg.headSampleInv, 1)
+    // cast: same getLong-vs-Encoder rationale as [[partialPostingsFromDocs]]
+    val base = docs.select($"doc_id".cast("long").as("doc_id"), $"text")
+    val sampled = if (inv > 1) base.where($"doc_id" % inv === 0) else base
+    val partials = sampled.queryExecution.toRdd.mapPartitions { it =>
+      val map = new DfMap()
+      val sinkU = new Tokenize.Utf8TokenSink {
+        var doc = 0L
+        def token(u: org.apache.spark.unsafe.types.UTF8String,
+                  start: Int, end: Int, hash: Int): Unit =
+          map.bumpUtf8(u, start, end, hash, doc)
+      }
+      val sinkS = new Tokenize.TokenSink {
+        var doc = 0L
+        def token(lower: String, start: Int, end: Int, hash: Int): Unit =
+          map.bump(lower, start, end, hash, doc)
+      }
+      it.foreach { row =>
+        require(!row.isNullAt(0), "null doc_id") // getLong on null reads 0 silently
+        val d = row.getLong(0)
+        if (!row.isNullAt(1)) {
+          val u = row.getUTF8String(1)
+          if (Tokenize.countTokensUtf8Ascii(u) >= 0) {
+            sinkU.doc = d
+            Tokenize.scanTokensUtf8(u, sinkU)
+          } else {
+            sinkS.doc = d
+            Tokenize.scanTokens(u.toString.toLowerCase, sinkS)
+          }
+        }
+      }
+      map.entries
+    }
+    spark.createDataset(partials)
+      .toDF("term", "df", "maxd", "mind")
+      .groupBy($"term").agg(sum($"df").as("df"))
+      .where($"df" * inv > cfg.headDf)
+      .select($"term").as[String].collect().toSet
+  }
+
   /** Head-term set straight from the corpus, on the deterministic doc
     * sample `doc_id % headSampleInv == 0` (inv=1 ⇒ exact: identical set to
-    * [[headTerms]] over full term stats — spec-asserted). One fused pass:
-    * [[corpusScanWithHeads]]. */
+    * [[headTerms]] over full term stats — spec-asserted). */
   def sampledHeadTerms(spark: SparkSession, docs: DataFrame, cfg: Config): Set[String] =
     if (cfg.docPartitioned) Set.empty
-    else corpusScanWithHeads(spark, docs, cfg).heads
+    else headsSampled(spark, docs, cfg)
 
   /** In-memory build: postings Dataset + stats (no disk IO) — used by the
     * Verify contract and algorithm tests; the disk path below adds only
@@ -822,15 +876,25 @@ object IndexBuild {
       r
     }
     // ONE full tokenize pass over the corpus (the fused partials job),
-    // preceded by ONE fused pre-pass (corpus scalars + sampled head set in
-    // the same job). Everything else is vocab-sized aggs over the built
-    // segments, overlapped below.
-    val scan = phase("scan+heads")(corpusScanWithHeads(spark, docs, cfg))
-    val nDocs = scan.n_docs
-    val maxDocId = scan.max_doc_id
-    val minDocId = scan.min_doc_id
-    require(nDocs > 0, "writeIndex needs a non-empty corpus")
-    val heads = scan.heads
+    // preceded only by the sampled heads scan (1/inv of the tokenize
+    // work, rows filtered in codegen — [[headsSampled]]). The corpus
+    // scalars (n_docs, min/max doc_id) are a CONCURRENT columnar agg
+    // launched here and awaited only at meta time: nothing before the
+    // meta write reads them, so the agg overlaps the main posting pass
+    // instead of running as a serial pre-pass (the round-4 fused scan
+    // charged a full-corpus row iteration to every build — pure Amdahl
+    // loss at the high pin; for doc-partitioned builds, which need no
+    // heads, the serial pre-pass is now gone entirely). Everything else
+    // is vocab-sized aggs over the built segments, overlapped below.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fScalars = Future {
+      phase("scalars (overlapped)")(
+        docs.agg(count(lit(1)), max($"doc_id".cast("long")),
+          min($"doc_id".cast("long"))).head())
+    }
+    val heads = phase("heads")(sampledHeadTerms(spark, docs, cfg))
 
     val done: Set[Int] =
       // _SUCCESS: a first manifest append killed mid-write leaves the dir
@@ -877,9 +941,6 @@ object IndexBuild {
     // manifest (the per-partition commit point) is awaited before it is
     // written, and meta — the open-gate — is still written after both.
     val statsSrc = spark.read.schema(segmentSchema).parquet(segmentsDir(dir))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val fStats = Future {
       phase("stats") {
         termStatsFromPostings(statsSrc)
@@ -904,6 +965,14 @@ object IndexBuild {
       all.map(_.getLong(3)).sum
     }
     Await.result(fStats, Duration.Inf)
+    // scalars long since done (launched before the main pass); the empty-
+    // corpus refusal moves here with them — still strictly before the
+    // meta write, so a failed build still cannot open.
+    val srow = Await.result(fScalars, Duration.Inf)
+    val nDocs = srow.getLong(0)
+    require(nDocs > 0, "writeIndex needs a non-empty corpus")
+    val maxDocId = srow.getLong(1)
+    val minDocId = srow.getLong(2)
     val meta = Meta(nDocs, nTokens, maxDocId, minDocId,
       cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
       cfg.docPartitioned)

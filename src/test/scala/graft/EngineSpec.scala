@@ -236,5 +236,8 @@ class EngineSpec extends AnyFunSuite {
     val scan = IndexBuild.corpusScanWithHeads(spark, docs, cfg)
     assert(scan.heads == mirror)
     assert((scan.n_docs, scan.max_doc_id, scan.min_doc_id) == (120L, 119L, 0L))
+    // the filtered heads-only scan (what writeIndex actually runs) agrees
+    // with both the fused scan and the Catalyst mirror
+    assert(IndexBuild.headsSampled(spark, docs, cfg) == mirror)
   }
 }
