@@ -77,7 +77,13 @@ object IndexBuild {
   final case class Meta(
       n_docs: Long, n_tokens: Long, max_doc_id: Long, min_doc_id: Long,
       num_partitions: Int, bucket_width: Long, head_df: Long, block_size: Int,
-      doc_partitioned: Boolean)
+      doc_partitioned: Boolean,
+      // posting-block codec the BUILD wrote (blocks are self-describing —
+      // every decode dispatches on the per-block id — but the re-encoding
+      // merge path needs to know what to emit: without this, merging two
+      // PFor indexes silently re-encoded the union as VByte). Absent in
+      // pre-round-5 metas → VByte, which is what those builds wrote.
+      codec: Int = Codec.VByteId)
 
 
   /** Scala mirror of the Catalyst `pmod(xxhash64(term, bucket), P)` used
@@ -975,7 +981,7 @@ object IndexBuild {
     val minDocId = srow.getLong(2)
     val meta = Meta(nDocs, nTokens, maxDocId, minDocId,
       cfg.numPartitions, cfg.bucketWidth, cfg.headDf, cfg.blockSize,
-      cfg.docPartitioned)
+      cfg.docPartitioned, cfg.codec)
     phase("commit") {
       writeMetaFile(spark, s"$dir/stats/meta", meta)
       val wallSec = (System.nanoTime() - t0) / 1e9
@@ -1002,7 +1008,7 @@ object IndexBuild {
       s""""max_doc_id":${meta.max_doc_id},"min_doc_id":${meta.min_doc_id},""" +
       s""""num_partitions":${meta.num_partitions},"bucket_width":${meta.bucket_width},""" +
       s""""head_df":${meta.head_df},"block_size":${meta.block_size},""" +
-      s""""doc_partitioned":${meta.doc_partitioned}}"""
+      s""""doc_partitioned":${meta.doc_partitioned},"codec":${meta.codec}}"""
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
@@ -1037,7 +1043,8 @@ object IndexBuild {
         n.get("max_doc_id").asLong, n.get("min_doc_id").asLong,
         n.get("num_partitions").asInt, n.get("bucket_width").asLong,
         n.get("head_df").asLong, n.get("block_size").asInt,
-        n.get("doc_partitioned").asBoolean)
+        n.get("doc_partitioned").asBoolean,
+        if (n.has("codec")) n.get("codec").asInt else Codec.VByteId)
     } catch {
       case e: Exception =>
         throw new IllegalStateException(

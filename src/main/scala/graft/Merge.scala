@@ -115,7 +115,11 @@ object Merge {
       num_partitions = metas.head.num_partitions,
       bucket_width = metas.head.bucket_width,
       head_df = metas.head.head_df, block_size = metas.head.block_size,
-      doc_partitioned = metas.head.doc_partitioned)
+      doc_partitioned = metas.head.doc_partitioned,
+      // concat never re-encodes (per-block codec ids travel with the
+      // blocks), so mixed-codec inputs are fine; the meta advises future
+      // appends/merges with the FIRST input's codec
+      codec = metas.head.codec)
 
     val postings = dirs.map(IndexBuild.readSegments(spark, _))
       .reduce(_ unionByName _)
@@ -186,8 +190,14 @@ object Merge {
     val cfgs = metas.map(m => (m.num_partitions, m.bucket_width, m.head_df,
       m.block_size, m.doc_partitioned)).distinct
     require(cfgs.size == 1, s"mismatched build configs across inputs: $cfgs")
+    // this path DECODES and RE-ENCODES every posting, so the output codec
+    // matters: emit the first input's (round-5 fix — the Config default
+    // silently re-encoded merged PFor indexes as VByte). Blocks decode by
+    // their own per-block ids, so mixed-codec inputs still merge; the
+    // output is uniformly metas.head.codec.
     val cfg = IndexBuild.Config(metas.head.num_partitions, metas.head.bucket_width,
-      metas.head.head_df, metas.head.block_size, metas.head.doc_partitioned)
+      metas.head.head_df, metas.head.block_size, metas.head.doc_partitioned,
+      codec = metas.head.codec)
 
     val meta = IndexBuild.Meta(
       n_docs = metas.map(_.n_docs).sum,
@@ -196,7 +206,7 @@ object Merge {
       min_doc_id = metas.map(_.min_doc_id).min,
       num_partitions = cfg.numPartitions, bucket_width = cfg.bucketWidth,
       head_df = cfg.headDf, block_size = cfg.blockSize,
-      doc_partitioned = cfg.docPartitioned)
+      doc_partitioned = cfg.docPartitioned, codec = cfg.codec)
 
     // merged stats (Catalyst full-outer join) drive the RE-SALT decision:
     // a term that was rare in every input but is a head term of the union

@@ -44,6 +44,28 @@ class MergeSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("merge(halves) == single full build under the PFor codec (codec carried via meta)") {
+    import spark.implicits._
+    val docs = Stats.readDocuments(spark, "/root/testdata/sf0.001").cache()
+    val cfg = SparkEntry.testConfig.copy(codec = Codec.PForId)
+    val full = tmpDir(); val h0 = tmpDir(); val h1 = tmpDir(); val merged = tmpDir()
+    IndexBuild.writeIndex(spark, docs, full, cfg)
+    IndexBuild.writeIndex(spark, docs.where($"doc_id" % 2 === 0), h0, cfg)
+    IndexBuild.writeIndex(spark, docs.where($"doc_id" % 2 === 1), h1, cfg)
+    assert(IndexBuild.readMeta(spark, h0).codec == Codec.PForId)
+    Merge.mergeIndexes(spark, Seq(h0, h1), merged)
+    // bit-identity INCLUDING block bytes: the re-encoding merge must emit
+    // the inputs' codec, not the Config default (round-5 fix — a merged
+    // PFor index silently came back VByte)
+    assert(IndexBuild.readMeta(spark, merged) == IndexBuild.readMeta(spark, full))
+    val rows = (d: String) => IndexBuild.readSegments(spark, d).collect().toSeq
+      .sortBy(r => (r.term, r.bucket))
+      .map(r => (r.part_id, r.term, r.bucket, r.n, r.min_doc,
+        r.blocks.map(b => (b.max_doc, b.n, b.max_tf, b.min_dl, b.bytes.toSeq))))
+    assert(rows(merged) == rows(full))
+    docs.unpersist()
+  }
+
   test("three-way merge in two passes == one three-way merge") {
     import spark.implicits._
     val docs = Stats.readDocuments(spark, "/root/testdata/sf0.001").cache()
