@@ -170,13 +170,12 @@ object IndexBuild {
     val pruned = docs.select($"doc_id".cast("long").as("doc_id"), $"text")
     val partials = pruned.queryExecution.toRdd.mapPartitions { it =>
       val acc = new PartialAcc(headsBc.value, cfgV)
-      val sinkU = new Tokenize.Utf8TokenSink {
-        var doc = 0L
-        var dl = 0
-        def token(u: org.apache.spark.unsafe.types.UTF8String,
-                  start: Int, end: Int, hash: Int): Unit =
-          acc.addOccurrenceUtf8(u, start, end, hash, doc, dl)
-      }
+      // SINGLE scan per ASCII doc ([[Tokenize.scanTokensUtf8Into]]): the
+      // former count-then-emit pair re-read and re-classified every text
+      // byte once more just to learn dl first — pure extra memory
+      // traffic on the build's hottest stage. Ranges buffer in primitive
+      // arrays (reused across docs), then emit with the known dl.
+      val ranges = new Tokenize.TokenRanges()
       val sinkStr = new Tokenize.TokenSink {
         var doc = 0L
         var dl = 0
@@ -190,11 +189,14 @@ object IndexBuild {
           require(!row.isNullAt(0), "null doc_id") // getLong on null reads 0 silently
           val d = row.getLong(0)
           val u = row.getUTF8String(1)
-          val dl = Tokenize.countTokensUtf8Ascii(u)
+          val dl = Tokenize.scanTokensUtf8Into(u, ranges)
           if (dl >= 0) {
-            sinkU.doc = d
-            sinkU.dl = dl
-            Tokenize.scanTokensUtf8(u, sinkU)
+            var i = 0
+            while (i < dl) {
+              acc.addOccurrenceUtf8(u, ranges.starts(i), ranges.ends(i),
+                ranges.hashes(i), d, dl)
+              i += 1
+            }
           } else {
             val lower = u.toString.toLowerCase
             sinkStr.doc = d
@@ -527,9 +529,20 @@ object IndexBuild {
       private val sink = new Codec.ByteSink()
       def hasNext: Boolean = it.hasNext
       def next(): PostingRow = {
-        val head = it.head
+        val head = it.next()
+        // SINGLETON pass-through: with contiguous doc_id input splits most
+        // (term, bucket) keys receive exactly ONE partial run, and a
+        // single run re-encoded is byte-identical to itself (its blocks
+        // were cut by the same encodeBlocksRange from the run's start) —
+        // so the decode + sort + re-encode below would be a no-op that
+        // still pays ~all of the reduce stage's CPU (measured 24 s of
+        // task time per 16M-doc build at bench shape, guide §1.2: don't
+        // compute things you throw away).
+        if (!(it.hasNext && it.head.term == head.term && it.head.bucket == head.bucket))
+          return head
         val buf = new PostingBuf()
-        var cf = 0L
+        var cf = head.cf
+        head.blocks.foreach(buf.addBlock)
         while (it.hasNext && it.head.term == head.term && it.head.bucket == head.bucket) {
           val row = it.next()
           cf += row.cf
@@ -795,10 +808,15 @@ object IndexBuild {
         val d = row.getLong(0)
         if (!row.isNullAt(1)) {
           val u = row.getUTF8String(1)
-          if (Tokenize.countTokensUtf8Ascii(u) >= 0) {
-            sinkU.doc = d
-            Tokenize.scanTokensUtf8(u, sinkU)
-          } else {
+          // Single pass with mid-doc abort (vs the former ASCII pre-scan):
+          // legal here because DfMap.bump* is idempotent per (term, doc) —
+          // the String-path fallback re-covers the whole doc and re-bumping
+          // an already-seen (term, doc) pair is a no-op (last-doc marking),
+          // while every range emitted before the abort ended at an ASCII
+          // non-word byte and is therefore a complete token of the String
+          // path too.
+          sinkU.doc = d
+          if (!Tokenize.scanTokensUtf8Abortable(u, sinkU)) {
             sinkS.doc = d
             Tokenize.scanTokens(u.toString.toLowerCase, sinkS)
           }

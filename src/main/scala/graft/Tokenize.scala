@@ -117,6 +117,91 @@ object Tokenize {
     if (start >= 0) sink.token(u, start, len, h)
   }
 
+  /** Reusable token-range buffer for [[scanTokensUtf8Into]] (one per
+    * task; grown on demand, never shrunk). */
+  final class TokenRanges {
+    var starts = new Array[Int](256)
+    var ends = new Array[Int](256)
+    var hashes = new Array[Int](256)
+    var n = 0
+    private[Tokenize] def grow(): Unit = {
+      val c = starts.length << 1
+      starts = java.util.Arrays.copyOf(starts, c)
+      ends = java.util.Arrays.copyOf(ends, c)
+      hashes = java.util.Arrays.copyOf(hashes, c)
+    }
+  }
+
+  /** SINGLE-pass fusion of [[countTokensUtf8Ascii]] + [[scanTokensUtf8]]:
+    * classify + hash + record each token's byte range into `buf` in one
+    * scan, returning the token count (= dl), or -1 on any high-bit byte
+    * (non-ASCII ⇒ caller falls back to the String path; `buf` contents
+    * are then meaningless). The two-pass shape re-read and re-classified
+    * every text byte just to learn dl before emitting — at build scale
+    * that second scan was pure memory traffic (guide §1.2: per-task work
+    * after the job shape is right). Token ranges, order and hashes are
+    * identical to the two-pass path by construction: same classifier
+    * ([[isAsciiWordByte]]), same hash recurrence, same boundary rules —
+    * and the existing TokenizeSpec parity suite pins the scan semantics. */
+  def scanTokensUtf8Into(u: org.apache.spark.unsafe.types.UTF8String,
+                         buf: TokenRanges): Int = {
+    val len = u.numBytes
+    buf.n = 0
+    var i = 0
+    var start = -1
+    var h = 0
+    while (i < len) {
+      val b = u.getByte(i)
+      if (b < 0) return -1
+      if (isAsciiWordByte(b)) {
+        if (start < 0) { start = i; h = 0 }
+        h = 31 * h + lowerAsciiByte(b)
+      } else if (start >= 0) {
+        if (buf.n == buf.starts.length) buf.grow()
+        buf.starts(buf.n) = start; buf.ends(buf.n) = i; buf.hashes(buf.n) = h
+        buf.n += 1
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) {
+      if (buf.n == buf.starts.length) buf.grow()
+      buf.starts(buf.n) = start; buf.ends(buf.n) = len; buf.hashes(buf.n) = h
+      buf.n += 1
+    }
+    buf.n
+  }
+
+  /** Single-pass [[scanTokensUtf8]] that ABORTS on the first non-ASCII
+    * byte: returns false with the sink having received only a PREFIX of
+    * the doc's tokens (every emitted range ended at an ASCII non-word
+    * byte, so each is a complete, correct token of the String path too).
+    * Only for sinks that are IDEMPOTENT per (token, doc) — e.g. the
+    * doc-distinct df counter, where the String-path fallback re-covers
+    * the whole doc and re-bumping a (term, doc) pair is a no-op. Saves
+    * the separate ASCII pre-scan on the all-ASCII common case. */
+  def scanTokensUtf8Abortable(u: org.apache.spark.unsafe.types.UTF8String,
+                              sink: Utf8TokenSink): Boolean = {
+    val len = u.numBytes
+    var i = 0
+    var start = -1
+    var h = 0
+    while (i < len) {
+      val b = u.getByte(i)
+      if (b < 0) return false
+      if (isAsciiWordByte(b)) {
+        if (start < 0) { start = i; h = 0 }
+        h = 31 * h + lowerAsciiByte(b)
+      } else if (start >= 0) {
+        sink.token(u, start, i, h)
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) sink.token(u, start, len, h)
+    true
+  }
+
   /** Materialize the lowered ASCII token at bytes [start, end) of `u`
     * as a String — only called on first sight of a term. */
   def lowerAsciiToken(u: org.apache.spark.unsafe.types.UTF8String,
