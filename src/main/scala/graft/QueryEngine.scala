@@ -142,6 +142,15 @@ object QueryEngine {
     var n = 0
     /** Current k-th score — the θ floor (MinValue until the heap fills). */
     def kth: Long = if (n == k) hScore(k - 1) else Long.MinValue
+    /** TIGHT θ floor: when the heap is full and every doc still to be
+      * offered has doc_id ≥ base > hDoc(k-1), a tie on the k-th score can
+      * never be accepted under the frozen (score DESC, doc_id ASC) order
+      * (the tie-breaker needs a SMALLER doc_id), so acceptance reduces to
+      * the single strict compare `s > kth`. Stays valid THROUGHOUT an
+      * ascending-docId offer sequence: each accepted doc is ≥ base and
+      * < every later candidate, so hDoc(k-1) remains below the next
+      * candidate — callers must offer docs in ascending order. */
+    def tightFloorFor(base: Long): Boolean = n == k && base > hDoc(k - 1)
     def offer(s: Long, d: Long): Unit = {
       if (n == k && (s < hScore(n - 1) ||
           (s == hScore(n - 1) && d > hDoc(n - 1)))) return
@@ -206,6 +215,96 @@ object QueryEngine {
     private val maskStamp = new Array[Int](width)
     private var curMask = 1
 
+    // Per-bucket DENSE CONTRIBUTION COLUMNS (the round-6 batched-scorer
+    // optimization): the dense path used to re-scatter every term's
+    // (idxs, cs) list into the zeroed scores array PER QUERY — at bench
+    // shape (nq=1000, ~77%-density head lists) the same term list was
+    // scattered hundreds of times per bucket. Densifying a term ONCE per
+    // bucket into a width-sized column (contrib + DenseTag at present
+    // docs, 0 elsewhere) extends the existing decode-once-per-bucket
+    // sharing one step further; per query the accumulation becomes a
+    // sequential column sum (no per-query zero-fill, no index
+    // indirection — the loop the JIT can actually vectorize). Long
+    // addition is commutative/associative, so per-doc sums — tag bits
+    // included — are bit-identical to the scatter path's.
+    //
+    // Cache keyed by the idxs array's IDENTITY (each bucket decodes
+    // fresh arrays); [[beginBucket]] recycles the columns so per-task
+    // memory stays O(batch terms · width), capped at [[MaxCols]] columns
+    // (beyond it a term falls back to the old inline scatter).
+    /** A densified term: the width-sized tagged contribution column plus
+      * per-CHUNK contribution maxima (chunk = 2^[[ChunkShift]] slots) —
+      * the block-max structure of the dense scan: a query's per-chunk
+      * score bound is the Σ over its terms' cmax entries, letting the
+      * selection skip whole chunks that provably cannot reach θ. */
+    final class DenseCol(val col: Array[Long], val cmax: Array[Long]) {
+      var bmax: Long = 0L // bucket-wide max contrib of the term
+    }
+    private val ChunkShift = 8
+    private val nChunks = (width + (1 << ChunkShift) - 1) >> ChunkShift
+    private val colCache = new java.util.IdentityHashMap[Array[Int], DenseCol]()
+    private val colPool = new scala.collection.mutable.ArrayBuffer[DenseCol]()
+    private val MaxCols = 256
+    private var gCols = new Array[DenseCol](8)
+    // per-bucket contrib-DESC-sorted term lists for the TA pruned walk
+    // (packed (contrib << 32) | idx; one sort per term per bucket, shared
+    // by every query using the term)
+    private val sortCache = new java.util.IdentityHashMap[Array[Int], Array[Long]]()
+
+    /** Recycle the previous bucket's dense columns (call per bucket). */
+    def beginBucket(): Unit = {
+      val it = colCache.values().iterator()
+      while (it.hasNext) colPool += it.next()
+      colCache.clear()
+      sortCache.clear()
+    }
+
+    /** The term's (contrib, idx) pairs packed ASC-sorted (walked from the
+      * tail for descending contribs). Packing is safe under the same
+      * bound the [[DenseTag]] design already relies on: one contribution
+      * is ≤ ~6.1e7 micros < 2^31, and idx < width fits the low 32 bits. */
+    private def sortedFor(idxs: Array[Int], cs: Array[Long]): Array[Long] = {
+      val got = sortCache.get(idxs)
+      if (got != null) return got
+      val n = idxs.length
+      val packed = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        packed(i) = (cs(i) << 32) | (idxs(i).toLong & 0xffffffffL)
+        i += 1
+      }
+      java.util.Arrays.sort(packed)
+      sortCache.put(idxs, packed)
+      packed
+    }
+
+    private def colFor(idxs: Array[Int], cs: Array[Long]): DenseCol = {
+      val got = colCache.get(idxs)
+      if (got != null) return got
+      if (colCache.size >= MaxCols) return null
+      val e = if (colPool.nonEmpty) colPool.remove(colPool.length - 1)
+              else new DenseCol(new Array[Long](width), new Array[Long](nChunks))
+      val col = e.col
+      val cmax = e.cmax
+      java.util.Arrays.fill(col, 0L)
+      java.util.Arrays.fill(cmax, 0L)
+      var i = 0
+      val n = idxs.length
+      var bm = 0L
+      while (i < n) {
+        val ix = idxs(i)
+        val c = cs(i)
+        col(ix) += c + DenseTag
+        val ch = ix >> ChunkShift
+        if (c > cmax(ch)) cmax(ch) = c
+        if (c > bm) bm = c
+        i += 1
+      }
+      e.bmax = bm
+      colCache.put(idxs, e)
+      e
+    }
+
     /** Start a new bucket's allowed-offset mask (clears the previous one). */
     def beginMask(): Unit = curMask += 1
 
@@ -256,13 +355,39 @@ object QueryEngine {
       else scoreSparse(nl, base, heap, masked)
     }
 
-    /** One list: the list IS the score column — stream it into the heap. */
+    /** One list: the list IS the score column — stream it into the heap.
+      * Lists are docId-ascending, so the tight θ floor applies (see
+      * [[QueryHeap.tightFloorFor]]): with a full heap strictly below this
+      * bucket, acceptance is the single compare `contrib > kth`. */
     private def scoreSingle(idxs: Array[Int], cs: Array[Long],
                             base: Long, heap: QueryHeap,
                             masked: Boolean): Int = {
       var i = 0
       val n = idxs.length
-      if (!masked)
+      if (heap.tightFloorFor(base)) {
+        // TA pruned walk, single-list case: only docs with contrib > θ
+        // can be accepted (pruned ones have s ≤ θ_entry — same exactness
+        // argument as the multi-term walk in scoreDense); offers go
+        // through the FULL heap insert, exact in any order. The sorted
+        // walk is sequential over the packed array, so unlike the
+        // multi-term case no random column access is involved and no
+        // hybrid gate is needed — the walk never visits more entries
+        // than the plain stream.
+        val th = heap.kth
+        val packed = sortedFor(idxs, cs)
+        var j = packed.length - 1
+        if (!masked)
+          while (j >= 0 && (packed(j) >>> 32) > th) {
+            heap.offer(packed(j) >>> 32, base + (packed(j) & 0xffffffffL))
+            j -= 1
+          }
+        else
+          while (j >= 0 && (packed(j) >>> 32) > th) {
+            val ix = (packed(j) & 0xffffffffL).toInt
+            if (allowed(ix)) heap.offer(packed(j) >>> 32, base + ix)
+            j -= 1
+          }
+      } else if (!masked)
         while (i < n) { heap.offer(cs(i), base + idxs(i)); i += 1 }
       else
         while (i < n) {
@@ -288,23 +413,180 @@ object QueryEngine {
                            masked: Boolean = false): Int = {
       require(nl <= MaxTaggedLists,
         s"tagged scorer supports <= $MaxTaggedLists lists, got $nl")
-      java.util.Arrays.fill(scores, 0L)
+      if (gCols.length < nl) gCols = new Array[DenseCol](nl)
       var li = 0
+      var allCols = true
       while (li < nl) {
-        val idxs = gIdx(li)
-        val cs = gCs(li)
-        var i = 0
-        val n = idxs.length
-        while (i < n) { scores(idxs(i)) += cs(i) + DenseTag; i += 1 }
+        val c = colFor(gIdx(li), gCs(li))
+        gCols(li) = c
+        if (c == null) allCols = false
         li += 1
       }
+      var cand = 0
+      var d = 0
+      // Fused column-sum selection for the common shapes (2-3 term
+      // unfiltered disjunctive queries — the batched-serving hot loop):
+      // no scores-array fill, no scatter, just nl sequential reads per
+      // slot. Identical per-doc values (same summands, integer adds).
+      if (allCols && required == 0 && !masked && (nl == 2 || nl == 3)) {
+        // Offers run in ascending d, so the tight θ floor applies: with a
+        // full heap strictly below this bucket the acceptance test is ONE
+        // predictable compare per slot — and whole chunks whose per-term
+        // maxima sum to ≤ θ are skipped without touching the columns at
+        // all (block-max pruning at chunk granularity: the chunk bound
+        // Σ cmax dominates every doc's sum in it, and under the tight
+        // floor a tie at θ is provably rejected too).
+        if (heap.tightFloorFor(base)) {
+          var th = heap.kth
+          // --- TA pruned walk (Fagin's threshold algorithm, bucket-local):
+          // any doc with total score s(d) > θ must satisfy, for EVERY term
+          // t, c_t(d) > θ − Σ_{u≠t} bmax_u. Walking ONE term's contrib-
+          // sorted list down to that threshold therefore enumerates a
+          // SUPERSET of all possibly-accepted docs (choose the max-bmax
+          // term so the threshold is as high as possible; thr ≥ 0 also
+          // guarantees docs absent from that list — contrib 0 — cannot
+          // qualify). Each survivor is offered through the FULL heap
+          // insert, which is exact for any offer order; pruned docs have
+          // s ≤ θ_entry and can never belong in the final heap, because
+          // in-bucket docs only enter it with s > θ-at-accept ≥ θ_entry,
+          // so the k-th slot can never end at θ_entry with an in-bucket
+          // doc (the tight floor already rejects out-of-heap ties).
+          val bm0 = gCols(0).bmax
+          val bm1 = gCols(1).bmax
+          val bm2 = if (nl == 3) gCols(2).bmax else 0L
+          var tStar = if (bm1 > bm0) 1 else 0
+          if (nl == 3 && bm2 > (if (tStar == 0) bm0 else bm1)) tStar = 2
+          val thr = th - (bm0 + bm1 + bm2 - (if (tStar == 0) bm0 else if (tStar == 1) bm1 else bm2))
+          if (thr >= 0) {
+            val packed = sortedFor(gIdx(tStar), gCs(tStar))
+            // Hybrid gate: count survivors by binary search first; the
+            // walk's random column accesses only beat the sequential
+            // chunked scan when the surviving set is genuinely small
+            // (flat score distributions — like head-only synthetic text —
+            // leave most of the list above thr, where the scan wins).
+            var lo = 0
+            var hi = packed.length
+            val key = (thr + 1) << 32 // first packed value with contrib > thr
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (packed(mid) < key) lo = mid + 1 else hi = mid
+            }
+            val walkLen = packed.length - lo
+            if (walkLen.toLong * 4 * nl < width) {
+              val c0 = gCols(0).col
+              val c1 = gCols(1).col
+              val c2 = if (nl == 3) gCols(2).col else null
+              var i = packed.length - 1
+              while (i >= lo) {
+                val d2 = (packed(i) & 0xffffffffL).toInt
+                val v = if (nl == 3) c0(d2) + c1(d2) + c2(d2) else c0(d2) + c1(d2)
+                cand += 1
+                heap.offer(v & DenseMask, base + d2)
+                i -= 1
+              }
+              return cand
+            }
+          }
+          if (nl == 2) {
+            val e0 = gCols(0); val e1 = gCols(1)
+            val c0 = e0.col; val c1 = e1.col
+            val m0 = e0.cmax; val m1 = e1.cmax
+            var ch = 0
+            while (ch < nChunks) {
+              if (m0(ch) + m1(ch) > th) {
+                d = ch << ChunkShift
+                val end = math.min(d + (1 << ChunkShift), width)
+                while (d < end) {
+                  val v = c0(d) + c1(d)
+                  if (v != 0L) {
+                    cand += 1
+                    val s = v & DenseMask
+                    if (s > th) { heap.offer(s, base + d); th = heap.kth }
+                  }
+                  d += 1
+                }
+              }
+              ch += 1
+            }
+          } else {
+            val e0 = gCols(0); val e1 = gCols(1); val e2 = gCols(2)
+            val c0 = e0.col; val c1 = e1.col; val c2 = e2.col
+            val m0 = e0.cmax; val m1 = e1.cmax; val m2 = e2.cmax
+            var ch = 0
+            while (ch < nChunks) {
+              if (m0(ch) + m1(ch) + m2(ch) > th) {
+                d = ch << ChunkShift
+                val end = math.min(d + (1 << ChunkShift), width)
+                while (d < end) {
+                  val v = c0(d) + c1(d) + c2(d)
+                  if (v != 0L) {
+                    cand += 1
+                    val s = v & DenseMask
+                    if (s > th) { heap.offer(s, base + d); th = heap.kth }
+                  }
+                  d += 1
+                }
+              }
+              ch += 1
+            }
+          }
+        } else if (nl == 2) {
+          val c0 = gCols(0).col; val c1 = gCols(1).col
+          while (d < width) {
+            val v = c0(d) + c1(d)
+            if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
+            d += 1
+          }
+        } else {
+          val c0 = gCols(0).col; val c1 = gCols(1).col; val c2 = gCols(2).col
+          while (d < width) {
+            val v = c0(d) + c1(d) + c2(d)
+            if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
+            d += 1
+          }
+        }
+        return cand
+      }
+      // Generic accumulation into the scores array: cached columns add
+      // sequentially (the first one replaces the zero-fill via copy),
+      // over-cap terms scatter their lists exactly as before.
+      var first = true
+      li = 0
+      while (li < nl) {
+        val col = if (gCols(li) == null) null else gCols(li).col
+        if (col != null) {
+          if (first) { System.arraycopy(col, 0, scores, 0, width); first = false }
+          else {
+            var i = 0
+            while (i < width) { scores(i) += col(i); i += 1 }
+          }
+        } else {
+          if (first) { java.util.Arrays.fill(scores, 0L); first = false }
+          val idxs = gIdx(li)
+          val cs = gCs(li)
+          var i = 0
+          val n = idxs.length
+          while (i < n) { scores(idxs(i)) += cs(i) + DenseTag; i += 1 }
+        }
+        li += 1
+      }
+      if (first) java.util.Arrays.fill(scores, 0L)
       // four scan variants so the pre-filter loops stay byte-identical
       // (the dense scan is the hottest loop of the engine; a loop-variant
       // mask check must not tax unfiltered batches)
-      var cand = 0
-      var d = 0
       if (required == 0) {
-        if (!masked) {
+        if (!masked && heap.tightFloorFor(base)) {
+          var th = heap.kth
+          while (d < width) {
+            val v = scores(d)
+            if (v != 0L) {
+              cand += 1
+              val s = v & DenseMask
+              if (s > th) { heap.offer(s, base + d); th = heap.kth }
+            }
+            d += 1
+          }
+        } else if (!masked) {
           while (d < width) {
             val v = scores(d)
             if (v != 0L) { cand += 1; heap.offer(v & DenseMask, base + d) }
@@ -709,8 +991,17 @@ object QueryEngine {
         // (`src/index_ivf.cpp:220-234` partial_sort + threshold).
         val heaps = scala.collection.mutable.HashMap.empty[Int, QueryHeap]
         var decodeNs = 0L; var contribNs = 0L; var scoreNs = 0L
-        byBucket.foreach { case (bucket, termRows) =>
+        // ASCENDING bucket order: results are order-independent (the
+        // merged top-k set is unique under the frozen total order), but
+        // ascending docId ranges make the tight θ floor
+        // ([[QueryHeap.tightFloorFor]]) true for every bucket after each
+        // query's heap first fills — the earliest (lowest-docId) ties win
+        // immediately and every later bucket's ties are provably
+        // rejectable with one compare. Also makes task execution
+        // deterministic (HashMap order was arbitrary).
+        byBucket.toSeq.sortBy(_._1).foreach { case (bucket, termRows) =>
           val base = bucket.toLong * w
+          taat.beginBucket() // recycle the previous bucket's dense columns
           // Attribute filter: fold this bucket's virtual filter lists
           // ([[Attrs]] rows riding the same posting stream) into the
           // scorer's stamp-cleared allowed-offset mask — OR across the
