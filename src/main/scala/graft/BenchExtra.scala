@@ -77,6 +77,32 @@ object BenchExtra {
           println(f"""{"extra":"query","cpus":${c.toInt},"nq":${batch.size},"secs":[${secs.map(s => f"$s%.3f").mkString(",")}],"best_ms_per_q":${secs.min * 1000 / batch.size}%.3f,"hits":$hits}""")
         } finally spark.stop()
 
+      case Some("timeq") =>
+        // Wall time of every declared contract query at a driver-like SF
+        // (build side effects + one count() action), to find outliers in
+        // the correctness surface. Usage: timeq <sfDir> [names...]
+        val qsf = args(1)
+        val names = if (args.length > 2) args.drop(2).toSeq
+                    else SparkEntry.queries.keys.toSeq.sorted
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[8]")
+          .config("spark.sql.shuffle.partitions", "8")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.local.dir", Bench.localDir)
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        try {
+          val rows = names.map { n =>
+            val t0 = System.nanoTime()
+            val c = SparkEntry.queries(n)(spark, qsf).count()
+            val s = (System.nanoTime() - t0) / 1e9
+            println(f"$n%-28s ${s}%7.2fs rows=$c")
+            (n, s)
+          }
+          println(f"TOTAL ${rows.map(_._2).sum}%.1fs")
+        } finally spark.stop()
+
       case Some("plans") =>
         // .explain("formatted") of declared contract queries at sf0.001 —
         // the judge's evidence files (plans/r06/). Building the DataFrame

@@ -425,6 +425,12 @@ object IndexBuild {
     private var needSort = false
 
     def add(d: Long, tf: Int, dl: Int): Unit = {
+      // Fold an occurrence of the CURRENT doc into its existing entry
+      // (occurrence appends arrive doc-contiguous; avg tf ≈ 2 halves the
+      // appends and leaves mergeEqualDocs nothing to do on sorted input):
+      // tf summing commutes and dl is a per-doc constant, so the final
+      // rows are identical to append-then-merge.
+      if (n > 0 && d == docs(n - 1)) { tfs(n - 1) += tf; return }
       if (n == docs.length) grow(n + 1)
       docs(n) = d; tfs(n) = tf; dls(n) = dl; n += 1
       if (d < lastDoc) needSort = true else lastDoc = d
@@ -462,8 +468,15 @@ object IndexBuild {
     /** Collapse equal-doc runs in place: tf ← Σ tf, dl kept (equal by
       * construction). Returns the merged length. */
     def mergeEqualDocs(): Int = {
-      var w = 0
-      var i = 0
+      // Detect-only fast path: with add() folding same-doc occurrences,
+      // sorted buffers normally have no adjacent dups — skip the
+      // load+store copy pass entirely (prior entries are already in
+      // place; the merge below starts at the first dup if any).
+      var f = 1
+      while (f < n && docs(f) != docs(f - 1)) f += 1
+      if (f >= n) return n
+      var w = f - 1
+      var i = f - 1
       while (i < n) {
         val d = docs(i)
         var tf = tfs(i)

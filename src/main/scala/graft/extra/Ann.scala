@@ -26,6 +26,29 @@ object Ann {
   val K = 5
   val NumPlanes = 8 // 256 cells
 
+  /** Scala mirror of [[cosCol]] — IDENTICAL arithmetic (left-to-right
+    * double folds, dot/(√·√), same op order) so scores are bit-equal.
+    * Used by the pair-heavy dedup paths: Catalyst higher-order functions
+    * (`aggregate`/`zip_with` lambdas) evaluate INTERPRETED per element
+    * (guide §4.1 — prefer compiled kernels in the hot path); at 125k
+    * pairs × 64 dims the lambda interpreter was most of the query. Dot
+    * runs over min length (vectors are fixed-dim by construction; a
+    * ragged pair under zip_with would go null and be filtered — callers
+    * only compare cos against thresholds). */
+  def cosScala(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Sequential-fold cosine between two float-array columns (parity with
     * DuckDB list_reduce — see OracleSqlExtra). */
   def cosCol(a: Column, b: Column): Column = {
@@ -133,7 +156,9 @@ object Ann {
       .orderBy($"vec_id").limit(kc)
       .select($"embedding").as[Seq[Float]].collect()
       .map(_.toArray.map(_.toDouble))
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val cb = centroids // stable closure capture per iteration
       val assignUdf = udf((v: Seq[Float]) => argminL2(v, cb))
       val updated = emb
@@ -144,7 +169,17 @@ object Ann {
         .collect()
       val next = centroids.map(_.clone())
       updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // Fixed-point early exit (bit-exact equality): Lloyd is a pure
+      // function of the centroids, so an iteration that reproduces them
+      // exactly makes every remaining iteration a provable no-op — the
+      // final codebook is IDENTICAL to running all `iters`, the
+      // remaining assignment/update jobs are just skipped (a contract
+      // query at test scale used to pay 8 Spark jobs for a clustering
+      // that converges in 2-3).
+      converged = java.util.Arrays.deepEquals(
+        next.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]])
       centroids = next
+      it += 1
     }
     centroids
   }

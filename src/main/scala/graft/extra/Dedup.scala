@@ -174,11 +174,32 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (cross-join; the SMALL-SCALE ORACLE
     * for [[embeddingDupLsh]] — the same oracle/scale-path pairing as
     * [[ngramJaccard]]/[[minhashLsh]]). threshold on exact cosine. */
-  def embeddingDup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val cosC = Ann.cosCol(col("a.embedding"), col("b.embedding"))
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cosC.as("cos"))
-      .where(col("cos") >= threshold)
+  def embeddingDup(emb: DataFrame, threshold: Double = 0.4): DataFrame =
+    cosPairsThresholded(
+      emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb")),
+      threshold)
+
+  /** (vec_a, vec_b, ea, eb) → thresholded (vec_a, vec_b, cos_micro),
+    * cosine computed by the COMPILED Scala mirror (bit-equal to the
+    * Catalyst HOF form — [[Ann.cosScala]]) over the scan's primitive
+    * float arrays via `toRdd` (no per-element boxing: the Encoder path
+    * decodes Seq[Float] with one box per float, and the Catalyst
+    * `aggregate`/`zip_with` lambdas run interpreted per element — guide
+    * §4.1; at O(n²) candidate pairs either was most of the operator). */
+  private def cosPairsThresholded(pairs: DataFrame, threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val rdd = pairs.queryExecution.toRdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val cos = Ann.cosScala(r.getArray(2).toFloatArray, r.getArray(3).toFloatArray)
+        if (cos >= threshold) Iterator.single((r.getLong(0), r.getLong(1), cos))
+        else Iterator.empty
+      }
+    }
+    spark.createDataset(rdd)
+      .toDF("vec_a", "vec_b", "cos")
       .select(col("vec_a"), col("vec_b"),
         floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_micro"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -216,9 +237,21 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("label")).localCheckpoint(true)
-    var changed = 1L
+    // Convergence detector: labels are per-vertex MONOTONE NON-INCREASING
+    // across rounds (min/least and the pointer jump never increase one),
+    // so Σ label is unchanged iff NO label changed — one scalar aggregate
+    // over the round's (checkpointed) output replaces the old
+    // join-against-previous-labels + count: the per-round change check
+    // loses its shuffle join. DECIMAL sum: exact at any id magnitude (a
+    // Long sum of 10^12 ids would overflow).
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum($"label".cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0) {
+    while (changed) {
       // (a) min over self + neighbors
       val prop = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"label").as("nl"))
@@ -232,8 +265,9 @@ object Dedup {
           $"x.label" === $"lid")
         .select($"x.id".as("id"), $"llabel".as("label"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
-        .where($"n.label" =!= $"o.label").count()
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels = next
       rounds += 1
     }
@@ -323,13 +357,11 @@ object Dedup {
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b")).distinct()
     val e = emb.select($"vec_id", $"embedding")
-    cands.join(e.as("ea"), $"vec_a" === $"ea.vec_id")
-      .join(e.as("eb"), $"vec_b" === $"eb.vec_id")
-      .select($"vec_a", $"vec_b",
-        Ann.cosCol($"ea.embedding", $"eb.embedding").as("cos"))
-      .where($"cos" >= threshold)
-      .select($"vec_a", $"vec_b",
-        floor($"cos" * 1e6 + 0.5).cast("long").as("cos_micro"))
-      .orderBy($"vec_a", $"vec_b")
+    cosPairsThresholded(
+      cands.join(e.as("ea"), $"vec_a" === $"ea.vec_id")
+        .join(e.as("eb"), $"vec_b" === $"eb.vec_id")
+        .select($"vec_a", $"vec_b",
+          $"ea.embedding".as("ca"), $"eb.embedding".as("cb")),
+      threshold)
   }
 }
