@@ -120,6 +120,20 @@ object Positional {
         }
         val terms = scala.collection.mutable.HashMap
           .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        // Allocation-light tokenizer drive (round-6): the regex
+        // `tokenizeArray` path allocated a split array + a String per
+        // TOKEN through the regex engine; [[Tokenize.scanTokens]] walks
+        // the lowered text once and the token String materializes only
+        // per distinct term of the doc (the map key) — same token
+        // stream, spec-pinned (TokenizeSpec parity).
+        val sink = new Tokenize.TokenSink {
+          var n = 0 // running token index == dl at end of doc
+          def token(lower: String, start: Int, end: Int, hash: Int): Unit = {
+            terms.getOrElseUpdate(lower.substring(start, end),
+              scala.collection.mutable.ArrayBuffer.empty) += n
+            n += 1
+          }
+        }
         new Iterator[PosRow] {
           private var emitted: Iterator[PosRow] = Iterator.empty
           private def refill(): Unit = {
@@ -127,19 +141,15 @@ object Positional {
               if (!it.hasNext) { flush(); emitted = out.iterator; out = Vector.empty }
               else {
                 val (doc, text) = it.next()
-                val toks = Tokenize.tokenizeArray(text)
                 terms.clear()
-                var i = 0
-                while (i < toks.length) {
-                  terms.getOrElseUpdate(toks(i),
-                    scala.collection.mutable.ArrayBuffer.empty) += i
-                  i += 1
-                }
+                sink.n = 0
+                Tokenize.scanTokens(text.toLowerCase, sink)
+                val dl = sink.n
                 val bucket = (doc / width).toInt
                 terms.foreach { case (t, ps) =>
                   acc.getOrElseUpdate((t, bucket),
                     scala.collection.mutable.ArrayBuffer.empty) +=
-                    ((doc, toks.length, ps.toArray))
+                    ((doc, dl, ps.toArray))
                   live += ps.length
                 }
                 if (live >= flushEntries) { flush(); emitted = out.iterator; out = Vector.empty }

@@ -36,9 +36,26 @@ object Pq {
 
   /** Per-subspace codebooks: M × ks × SubDim. iters=0 returns the init
     * (the ks lowest vec_ids' subvectors) — with ks = n that is the
-    * lossless verification codebook, no training jobs at all. */
+    * lossless verification codebook, no training jobs at all.
+    *
+    * iters=0 fast path: ONE collect of the ks lowest full vectors, sliced
+    * per subspace driver-side — bit-identical to M per-subspace init
+    * collects (each init is exactly the same rows' subvector slice), at
+    * 1/M of the Spark jobs (the lossless contract queries paid M
+    * sequential collect jobs for identical data). */
   def trainCodebooks(emb: DataFrame, ks: Int = Ks, iters: Int = 4): Array[Array[Array[Double]]] =
-    Array.tabulate(M) { m =>
+    if (iters == 0) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val init: Array[Array[Double]] = emb
+        .orderBy($"vec_id").limit(ks)
+        .select($"embedding").as[Seq[Float]].collect()
+        .map(_.toArray.map(_.toDouble))
+      Array.tabulate(M)(m =>
+        init.map(v => java.util.Arrays.copyOfRange(v,
+          math.min(m * SubDim, v.length),
+          math.min((m + 1) * SubDim, v.length)))) // == slice() on short vectors
+    } else Array.tabulate(M) { m =>
       Ann.kmeansFit(emb.select(col("vec_id"), subCol(m).as("embedding")), ks, iters)
     }
 
