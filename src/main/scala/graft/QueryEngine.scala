@@ -1164,6 +1164,17 @@ object QueryEngine {
                                // a sidecar written AFTER the open — then
                                // filtered batches bypass the cache)
                                attrsCached: Boolean = false) {
+    /** Per-term (df, max_bucket) memo for the handle's lifetime — index
+      * metadata, immutable once the index is open (stats/terms is part
+      * of the build's commit), cached for the same reason openIndex
+      * caches the serving layout: a serving process replays the same
+      * hot query terms batch after batch, and the per-batch stats
+      * lookup was a whole (tiny) Spark job. Terms ABSENT from the index
+      * are memoized as None too — repeat misses are the common case for
+      * out-of-vocabulary query words. Driver memory stays bounded by
+      * the distinct terms actually queried (never the vocabulary). */
+    private[QueryEngine] val termStatsMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Int)]]()
     /** Release the cached serving layout (no-op for uncached handles). */
     def close(): Unit = served.foreach(_.unpersist())
   }
@@ -1245,13 +1256,22 @@ object QueryEngine {
     val meta = h.meta
     val qTerms = queries.flatMap(_._2).distinct
     // df + salting lookup restricted to query terms — filter pushed to
-    // the parquet scan of the (vocab-sized) stats table.
-    val statsRows = h.stats
-      .where($"term".isin(qTerms: _*))
-      .select($"term", $"df", $"max_bucket")
-      .as[(String, Long, Int)].collect()
-    val termDf = statsRows.map(r => (r._1, r._2)).toMap
-    val termMaxBucket = statsRows.map(r => (r._1, r._3)).toMap
+    // the parquet scan of the (vocab-sized) stats table; results memoized
+    // on the handle (immutable index metadata), so a batch whose terms
+    // were all seen before skips the lookup job entirely.
+    val missing = qTerms.filterNot(h.termStatsMemo.containsKey)
+    if (missing.nonEmpty) {
+      val found = h.stats
+        .where($"term".isin(missing: _*))
+        .select($"term", $"df", $"max_bucket")
+        .as[(String, Long, Int)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      missing.foreach(t => h.termStatsMemo.put(t, found.get(t)))
+    }
+    val memod = qTerms.flatMap(t =>
+      h.termStatsMemo.get(t).map(v => t -> v))
+    val termDf = memod.map { case (t, v) => (t, v._1) }.toMap
+    val termMaxBucket = memod.map { case (t, v) => (t, v._2) }.toMap
     val cs = CorpusStats(meta.n_docs, meta.n_tokens, meta.max_doc_id)
     val fTerms = filter.toSeq.flatMap { case (a, vs) => vs.map(Attrs.filterTerm(a, _)) }
     val p = plan(cs, termDf, queries, k, conjunctive)
